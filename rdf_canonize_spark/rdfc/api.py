@@ -1,0 +1,95 @@
+"""Public canonize API.
+
+Mirrors the option surface and dispatch/validation behavior of the
+reference's ``lib/index.js:96-262`` (async and sync variants produce the
+same output; this implementation is synchronous like
+``lib/RDFC10Sync.js``, which is the right model for a per-document
+Spark UDF).
+
+``canonize(input, **options)``:
+
+* ``input`` -- N-Quads string (with ``input_format='application/n-quads'``)
+  or a dataset: list of quad tuples (see ``terms.py``) or RDF/JS-style
+  dicts.
+* ``algorithm`` -- ``'RDFC-1.0'`` (``'URDNA2015'`` aliases unless
+  ``reject_urdna2015``).
+* ``max_work_factor`` / ``max_deep_iterations`` / ``timeout`` /
+  ``message_digest_algorithm`` / ``create_message_digest`` /
+  ``canonical_id_map`` -- as in the reference.
+"""
+
+from __future__ import annotations
+
+from .canonize import RDFC10
+from .nquads import parse
+from .terms import quad_from_rdfjs
+
+
+def _input_to_dataset(input_data, input_format=None):
+    """Mirror ``lib/index.js:47-59``."""
+    if input_format:
+        if input_format == "application/n-quads":
+            if not isinstance(input_data, str):
+                raise TypeError("N-Quads input must be a string.")
+            return parse(input_data)
+        raise ValueError(
+            'Unknown canonicalization input format: "%s".' % input_format
+        )
+    return _coerce_dataset(input_data)
+
+
+def _coerce_dataset(dataset):
+    """Accept quad tuples or RDF/JS dicts.  NOTE (parity with reference
+    entry point 2, SURVEY.md 3.2): the per-graph dedup is skipped for
+    dataset input -- duplicate quads survive into serialization."""
+    out = []
+    for q in dataset:
+        if isinstance(q, dict):
+            out.append(quad_from_rdfjs(q))
+        else:
+            out.append(tuple(q))
+    return out
+
+
+def _check_output_format(format=None):
+    """Mirror ``lib/index.js:62-70``."""
+    if format:
+        if format == "application/n-quads":
+            return
+        raise ValueError('Unknown output format: "%s".' % format)
+
+
+def canonize(
+    input_data,
+    algorithm=None,
+    input_format=None,
+    format=None,
+    canonical_id_map=None,
+    create_message_digest=None,
+    message_digest_algorithm="sha256",
+    max_work_factor=1,
+    max_deep_iterations=-1,
+    timeout=0,
+    reject_urdna2015=False,
+):
+    dataset = _input_to_dataset(input_data, input_format)
+    _check_output_format(format)
+
+    if algorithm is None:
+        raise ValueError(
+            "No RDF Dataset Canonicalization algorithm specified."
+        )
+    if algorithm not in ("RDFC-1.0", "URDNA2015") or (
+        algorithm == "URDNA2015" and reject_urdna2015
+    ):
+        raise ValueError(
+            "Invalid RDF Dataset Canonicalization algorithm: " + algorithm
+        )
+    return RDFC10(
+        create_message_digest=create_message_digest,
+        message_digest_algorithm=message_digest_algorithm,
+        canonical_id_map=canonical_id_map,
+        max_work_factor=max_work_factor,
+        max_deep_iterations=max_deep_iterations,
+        timeout=timeout,
+    ).main(dataset)

@@ -1,0 +1,210 @@
+"""API behavior tests, modeled on the reference's test/misc.js
+(option validation 11-124, canonicalIdMap 126-148, URDNA2015 aliasing
+150-169, work-factor behavior 171-321, duplicate quads 382-396, parse
+errors 398-415)."""
+
+import pytest
+
+from rdf_canonize_spark.rdfc import (
+    IdentifierIssuer,
+    NQuadsParseError,
+    Permuter,
+    canonize,
+)
+from rdf_canonize_spark.rdfc.canonize import MaxDeepIterationsError
+from rdf_canonize_spark.rdfc.graphs import make_data_b
+
+SIMPLE = '_:b0 <urn:p0> _:b1 .\n_:b1 <urn:p1> "v1" .\n'
+SIMPLE_OUT = '_:c14n0 <urn:p0> _:c14n1 .\n_:c14n1 <urn:p1> "v1" .\n'
+
+
+def test_no_algorithm():
+    with pytest.raises(ValueError, match="No RDF Dataset Canonicalization"):
+        canonize(SIMPLE, input_format="application/n-quads")
+
+
+def test_invalid_algorithm():
+    with pytest.raises(
+        ValueError, match="Invalid RDF Dataset Canonicalization"
+    ):
+        canonize(SIMPLE, algorithm="BOGUS",
+                 input_format="application/n-quads")
+
+
+def test_urdna2015_alias():
+    assert (
+        canonize(SIMPLE, algorithm="URDNA2015",
+                 input_format="application/n-quads")
+        == SIMPLE_OUT
+    )
+
+
+def test_reject_urdna2015():
+    with pytest.raises(ValueError, match="Invalid RDF Dataset"):
+        canonize(
+            SIMPLE,
+            algorithm="URDNA2015",
+            input_format="application/n-quads",
+            reject_urdna2015=True,
+        )
+
+
+def test_unknown_input_format():
+    with pytest.raises(ValueError, match="Unknown canonicalization input"):
+        canonize(SIMPLE, algorithm="RDFC-1.0", input_format="bogus/type")
+
+
+def test_unknown_output_format():
+    with pytest.raises(ValueError, match="Unknown output format"):
+        canonize(
+            SIMPLE,
+            algorithm="RDFC-1.0",
+            input_format="application/n-quads",
+            format="bogus/type",
+        )
+
+
+def test_nquads_output_format_accepted():
+    assert (
+        canonize(
+            SIMPLE,
+            algorithm="RDFC-1.0",
+            input_format="application/n-quads",
+            format="application/n-quads",
+        )
+        == SIMPLE_OUT
+    )
+
+
+def test_non_string_nquads_input():
+    with pytest.raises(TypeError, match="N-Quads input must be a string."):
+        canonize(
+            {"not": "a string"},
+            algorithm="RDFC-1.0",
+            input_format="application/n-quads",
+        )
+
+
+def test_canonical_id_map():
+    id_map = {}
+    out = canonize(
+        SIMPLE,
+        algorithm="RDFC-1.0",
+        input_format="application/n-quads",
+        canonical_id_map=id_map,
+    )
+    assert out == SIMPLE_OUT
+    assert id_map == {"b0": "c14n0", "b1": "c14n1"}
+
+
+def test_dataset_input():
+    """Entry point 2: RDF/JS dataset input skips parsing (and dedup)."""
+    dataset = [
+        {
+            "subject": {"termType": "BlankNode", "value": "b0"},
+            "predicate": {"termType": "NamedNode", "value": "urn:p0"},
+            "object": {"termType": "BlankNode", "value": "b1"},
+            "graph": {"termType": "DefaultGraph", "value": ""},
+        },
+        {
+            "subject": {"termType": "BlankNode", "value": "b1"},
+            "predicate": {"termType": "NamedNode", "value": "urn:p1"},
+            "object": {
+                "termType": "Literal",
+                "value": "v1",
+                "datatype": {
+                    "termType": "NamedNode",
+                    "value": "http://www.w3.org/2001/XMLSchema#string",
+                },
+            },
+            "graph": {"termType": "DefaultGraph", "value": ""},
+        },
+    ]
+    assert canonize(dataset, algorithm="RDFC-1.0") == SIMPLE_OUT
+
+
+def test_duplicate_quads_nquads_path():
+    out = canonize(
+        "_:b0 <ex:p> _:b1 .\n_:b0 <ex:p> _:b1 .\n",
+        algorithm="RDFC-1.0",
+        input_format="application/n-quads",
+    )
+    assert out == "_:c14n1 <ex:p> _:c14n0 .\n"
+
+
+def test_parse_error_line_number():
+    with pytest.raises(NQuadsParseError, match="line 2"):
+        canonize(
+            "<ex:s> <ex:p> <ex:o> .\nbad\n",
+            algorithm="RDFC-1.0",
+            input_format="application/n-quads",
+        )
+
+
+def test_work_factor_zero_rejects_nonunique():
+    _, data = make_data_b(3)
+    with pytest.raises(
+        MaxDeepIterationsError, match=r"Maximum deep iterations exceeded \(0\)"
+    ):
+        canonize(
+            data,
+            algorithm="RDFC-1.0",
+            input_format="application/n-quads",
+            max_work_factor=0,
+        )
+
+
+def test_work_factor_infinity():
+    _, data = make_data_b(4)
+    out = canonize(
+        data,
+        algorithm="RDFC-1.0",
+        input_format="application/n-quads",
+        max_work_factor=float("inf"),
+    )
+    assert out.count("\n") == 16
+
+
+def test_explicit_max_deep_iterations_overrides():
+    _, data = make_data_b(4)
+    with pytest.raises(
+        MaxDeepIterationsError, match=r"exceeded \(1\)"
+    ):
+        canonize(
+            data,
+            algorithm="RDFC-1.0",
+            input_format="application/n-quads",
+            max_deep_iterations=1,
+        )
+
+
+def test_issuer_order_and_clone():
+    iss = IdentifierIssuer("b")
+    assert iss.get_id("x") == "b0"
+    assert iss.get_id("y") == "b1"
+    assert iss.get_id("x") == "b0"
+    clone = iss.clone()
+    assert clone.get_id("z") == "b2"
+    assert not iss.has_id("z")
+    assert iss.get_old_ids() == ["x", "y"]
+    assert clone.get_old_ids() == ["x", "y", "z"]
+
+
+def test_permuter_enumerates_all():
+    p = Permuter(["c", "a", "b"])
+    perms = []
+    while p.has_next():
+        perms.append(tuple(p.next()))
+    assert len(perms) == 6
+    assert perms[0] == ("a", "b", "c")
+    assert len(set(perms)) == 6
+
+
+def test_permuter_duplicates_collapse():
+    # direction keyed by value: duplicates share state, matching the
+    # reference (lib/Permuter.js:19-22)
+    p = Permuter(["a", "a"])
+    perms = []
+    while p.has_next():
+        perms.append(tuple(p.next()))
+    assert perms == [("a", "a")]

@@ -1,0 +1,202 @@
+"""Generate a deterministic corpus of N-Quads inputs for differential
+testing against the reference implementation (goldens produced by
+tools/make_goldens.js, committed under tests/fixtures/rdfc10/).
+
+Inputs cover: literals (plain/typed/lang), escapes, IRIs with escapes,
+named/blank graphs, duplicate quads, isomorphic bnode structures (cycles,
+cliques, bipartite, layered), unicode, and poison graphs for budget tests.
+"""
+
+import io
+import json
+import os
+import random
+
+from rdf_canonize_spark.rdfc.graphs import make_data_a, make_data_b, make_data_c
+
+OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "fixtures",
+                   "rdfc10")
+
+CASES = {}
+
+
+def case(name, data, max_work_factor=1):
+    CASES[name] = {"data": data, "maxWorkFactor": max_work_factor}
+
+
+# --- simple ground cases ------------------------------------------------------
+case("empty", "")
+case("single-iri", "<http://ex/s> <http://ex/p> <http://ex/o> .\n")
+case("single-bnode", "_:b0 <http://ex/p> \"v\" .\n")
+case("chain", "_:b0 <urn:p0> _:b1 .\n_:b1 <urn:p1> \"v1\" .\n")
+case("dup-quads", "_:b0 <ex:p> _:b1 .\n_:b0 <ex:p> _:b1 .\n")
+case(
+    "dup-across-graphs",
+    "_:b0 <ex:p> _:b1 .\n_:b0 <ex:p> _:b1 <ex:g> .\n"
+    "_:b0 <ex:p> _:b1 <ex:g> .\n",
+)
+case(
+    "literals",
+    '<http://ex/s> <http://ex/p> "plain" .\n'
+    '<http://ex/s> <http://ex/p> "typed"^^<http://ex/dt> .\n'
+    '<http://ex/s> <http://ex/p> "en"@en .\n'
+    '<http://ex/s> <http://ex/p> "en-us"@en-US .\n'
+    '<http://ex/s> <http://ex/p> '
+    '"explicit-str"^^<http://www.w3.org/2001/XMLSchema#string> .\n'
+    '<http://ex/s> <http://ex/p> "1"^^'
+    "<http://www.w3.org/2001/XMLSchema#integer> .\n",
+)
+esc = "".join(chr(92) + c for c in 'tbnrf"')
+case(
+    "literal-escapes",
+    '<http://ex/s> <http://ex/p> "' + esc + chr(92) + chr(92) + '" .\n'
+    '<http://ex/s> <http://ex/p> "u-esc:' + chr(92) + 'u0041'
+    + chr(92) + 'u00e9" .\n'
+    '<http://ex/s2> <http://ex/p> "x" .\n',
+)
+case(
+    "uchar8-astral",
+    '<http://ex/s> <http://ex/p> "' + chr(92) + 'U0001F600" .\n'
+    '<http://ex/s> <http://ex/p> "pair:' + chr(92) + 'uD83D'
+    + chr(92) + 'uDE00" .\n',
+)
+case(
+    "iri-escapes",
+    "<http://ex/s" + chr(92) + "u00e9> <http://ex/p> <http://ex/o> .\n",
+)
+case(
+    "unicode-literals",
+    '<http://ex/s> <http://ex/p> "caf' + chr(0xE9) + ' ' + chr(0x4E2D)
+    + chr(0x6587) + '" .\n'
+    '<http://ex/s> <http://ex/p> "' + chr(0x1F600) + '" .\n',
+)
+case(
+    "graphs-mixed",
+    "_:b0 <ex:p> _:b1 <ex:g1> .\n"
+    "_:b1 <ex:p> _:b0 <ex:g2> .\n"
+    "_:b0 <ex:p> \"v\" _:b2 .\n"
+    "_:b2 <ex:q> _:b0 .\n",
+)
+case(
+    "bnode-graph-name",
+    "_:b0 <ex:p> <ex:o> _:g0 .\n_:g0 <ex:in> \"meta\" .\n",
+)
+case("whitespace", "  <http://ex/s>\t<http://ex/p>\t\"v\"  .  \n\n\n"
+     "<http://ex/s2> <http://ex/p2> <http://ex/o2> .\n")
+
+# --- isomorphic / symmetric structures ---------------------------------------
+case("cycle-2", "_:a <ex:p> _:b .\n_:b <ex:p> _:a .\n")
+case(
+    "cycle-3",
+    "_:a <ex:p> _:b .\n_:b <ex:p> _:c .\n_:c <ex:p> _:a .\n",
+    max_work_factor=2,
+)
+case(
+    "clique-3",
+    make_data_b(3)[1],
+    max_work_factor=3,
+)
+case("bipartite-2x2", make_data_a(2, 2)[1], max_work_factor=3)
+case("bipartite-3x3", make_data_a(3, 3)[1], max_work_factor=3)
+case("layered-2-2", make_data_c([2, 2])[1], max_work_factor=3)
+case("layered-2-3-2", make_data_c([2, 3, 2])[1], max_work_factor=3)
+case(
+    "double-edges",
+    "_:a <ex:p> _:b .\n_:a <ex:q> _:b .\n_:b <ex:p> _:a .\n"
+    "_:b <ex:q> _:a .\n",
+    max_work_factor=3,
+)
+case(
+    "shared-literal-symmetric",
+    '_:a <ex:p> "same" .\n_:b <ex:p> "same" .\n_:a <ex:r> _:b .\n'
+    "_:b <ex:r> _:a .\n",
+    max_work_factor=3,
+)
+
+# --- random graphs (seeded) ---------------------------------------------------
+rng = random.Random(42)
+for i in range(12):
+    n_bn = rng.randint(2, 8)
+    n_iri = rng.randint(0, 4)
+    n_edges = rng.randint(n_bn, n_bn * 3)
+    lines = []
+    nodes = [f"_:n{j}" for j in range(n_bn)] + [
+        f"<http://ex/r{j}>" for j in range(n_iri)
+    ]
+    preds = [f"<http://ex/p{j}>" for j in range(rng.randint(1, 3))]
+    graphs_opt = ["", " <http://ex/g0>", " <http://ex/g1>"]
+    seen = set()
+    for _ in range(n_edges):
+        s = rng.choice(nodes)
+        if s.startswith("<http") and rng.random() < 0.5:
+            s = rng.choice(nodes)
+        p = rng.choice(preds)
+        kind = rng.random()
+        if kind < 0.6:
+            o = rng.choice(nodes)
+        elif kind < 0.8:
+            o = f'"lit{rng.randint(0, 3)}"'
+        else:
+            o = f'"l{rng.randint(0, 2)}"@en'
+        gph = rng.choice(graphs_opt)
+        line = f"{s} {p} {o}{gph} .\n"
+        if line not in seen:
+            seen.add(line)
+            lines.append(line)
+    case(f"random-{i:02d}", "".join(lines), max_work_factor=3)
+
+# random symmetric clusters: pairs of identical subgraph shapes
+for i in range(6):
+    rng2 = random.Random(1000 + i)
+    k = rng2.randint(2, 4)
+    lines = []
+    for copy in range(2):
+        for a in range(k):
+            b = (a + 1) % k
+            lines.append(f"_:c{copy}_{a} <ex:p> _:c{copy}_{b} .\n")
+    if i % 2 == 0:
+        lines.append(f"_:c0_0 <ex:link> _:c1_0 .\n")
+    case(f"twins-{i:02d}", "".join(lines), max_work_factor=3)
+
+# --- poison / budget cases (expected to throw at low work factors) -----------
+case("poison-a-4x4-wf1", make_data_a(4, 4)[1], max_work_factor=1)
+case("poison-b-4-wf1", make_data_b(4)[1], max_work_factor=1)
+case("poison-b-3-wf0", make_data_b(3)[1], max_work_factor=0)
+case("clique-5-wf2", make_data_b(5)[1], max_work_factor=2)
+
+# --- negative parse cases ------------------------------------------------------
+NEGATIVE = {
+    "bad-line": "this is not nquads\n",
+    "bad-missing-dot": "<http://ex/s> <http://ex/p> <http://ex/o>\n",
+    "bad-literal-subject": '"lit" <http://ex/p> <http://ex/o> .\n',
+    "bad-second-line": "<http://ex/s> <http://ex/p> <http://ex/o> .\nnope\n",
+    "bad-comment": "# comment lines are not in the reference grammar\n",
+}
+
+
+def main():
+    os.makedirs(OUT, exist_ok=True)
+    manifest = []
+    for name, spec in CASES.items():
+        with io.open(
+            os.path.join(OUT, name + "-in.nq"), "w", encoding="utf-8"
+        ) as f:
+            f.write(spec["data"])
+        manifest.append(
+            {"name": name, "maxWorkFactor": spec["maxWorkFactor"]}
+        )
+    for name, data in NEGATIVE.items():
+        with io.open(
+            os.path.join(OUT, name + "-in.nq"), "w", encoding="utf-8"
+        ) as f:
+            f.write(data)
+        manifest.append({"name": name, "negativeParse": True})
+    with io.open(
+        os.path.join(OUT, "manifest.json"), "w", encoding="utf-8"
+    ) as f:
+        json.dump(manifest, f, indent=1)
+    print(f"wrote {len(manifest)} inputs to {OUT}")
+
+
+if __name__ == "__main__":
+    main()
