@@ -1,0 +1,212 @@
+"""DuckDB oracle SQL builders for the driver-contract queries.
+
+Each function returns an ANSI-SQL string DuckDB can run against the
+pre-registered parquet views (``documents`` etc.).  The pipeline's
+synthetic pages are *closed-form* in the doc key (see pages.py), so the
+oracle re-derives expected triples arithmetically -- a genuinely
+independent end-to-end check of extract + link + assemble.
+"""
+
+from __future__ import annotations
+
+from ..pipeline.gazetteer import (
+    KNOWN_SURFACES,
+    PRED_NS,
+    RELATIONS,
+    SURFACES,
+    entity_iri,
+)
+
+_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+
+_SURF_LIST = "[" + ", ".join("'%s'" % s for s in SURFACES) + "]"
+_REL_LIST = "[" + ", ".join("'%s'" % r for r in RELATIONS) + "]"
+_GAZ_VALUES = ", ".join(
+    "('%s', '%s')" % (s, entity_iri(s)) for s in KNOWN_SURFACES
+)
+
+# Quads CTE: mirrors pages_from_documents -> extract -> link -> assemble
+QUADS_CTE = f"""
+  docs AS (SELECT doc_id AS k FROM documents),
+  stmt AS (
+    SELECT k, unnest(range(0, (k % 5) + 1)) AS i FROM docs
+  ),
+  mention AS (
+    SELECT
+      'https://crawl.example.org/p/' || lpad(CAST(k AS VARCHAR), 12, '0')
+        AS url,
+      {_SURF_LIST}[CAST((k * 7 + i * 13) % 200 AS INT) + 1] AS s_surface,
+      {_REL_LIST}[CAST((k + i) % 8 AS INT) + 1] AS relation,
+      {_SURF_LIST}[CAST((k * 11 + i * 17 + 3) % 200 AS INT) + 1]
+        AS o_surface
+    FROM stmt
+  ),
+  gaz(surface, iri) AS (VALUES {_GAZ_VALUES}),
+  stmt_quads AS (
+    SELECT
+      m.url,
+      CASE WHEN gs.iri IS NOT NULL THEN 0 ELSE 1 END AS s_kind,
+      COALESCE(gs.iri, m.s_surface) AS s,
+      '{PRED_NS}' || m.relation AS p,
+      CASE WHEN go.iri IS NOT NULL THEN 0 ELSE 1 END AS o_kind,
+      COALESCE(go.iri, m.o_surface) AS o,
+      CAST(NULL AS VARCHAR) AS o_datatype,
+      CAST(NULL AS VARCHAR) AS o_lang,
+      3 AS g_kind,
+      '' AS g
+    FROM mention m
+    LEFT JOIN gaz gs ON m.s_surface = gs.surface
+    LEFT JOIN gaz go ON m.o_surface = go.surface
+  ),
+  title_quads AS (
+    SELECT
+      'https://crawl.example.org/p/' || lpad(CAST(k AS VARCHAR), 12, '0')
+        AS url,
+      0 AS s_kind,
+      'https://crawl.example.org/p/' || lpad(CAST(k AS VARCHAR), 12, '0')
+        AS s,
+      '{PRED_NS}title' AS p,
+      2 AS o_kind,
+      'Page ' || lpad(CAST(k AS VARCHAR), 12, '0') AS o,
+      '{_LANGSTRING}' AS o_datatype,
+      'en' AS o_lang,
+      3 AS g_kind,
+      '' AS g
+    FROM docs
+  ),
+  quads AS (
+    SELECT * FROM stmt_quads UNION ALL SELECT * FROM title_quads
+  ),
+  dquads AS (SELECT DISTINCT * FROM quads),
+  lines AS (
+    SELECT *,
+      (CASE WHEN s_kind = 0 THEN '<' || s || '>' ELSE '_:' || s END)
+      || ' <' || p || '> '
+      || (CASE
+            WHEN o_kind = 0 THEN '<' || o || '>'
+            WHEN o_kind = 1 THEN '_:' || o
+            ELSE '"' || o || '"' ||
+              (CASE
+                 WHEN o_lang IS NOT NULL THEN '@' || o_lang
+                 WHEN o_datatype IS NOT NULL
+                   AND o_datatype <>
+                     'http://www.w3.org/2001/XMLSchema#string'
+                   AND o_datatype <> '{_LANGSTRING}'
+                   THEN chr(94) || chr(94) || '<' || o_datatype || '>'
+                 ELSE ''
+               END)
+          END)
+      || ' .' AS nq_line
+    FROM dquads
+  ),
+  bnode_lines AS (
+    SELECT DISTINCT url, bnode, nq_line FROM (
+      SELECT url, s AS bnode, nq_line FROM lines WHERE s_kind = 1
+      UNION ALL
+      SELECT url, o AS bnode, nq_line FROM lines WHERE o_kind = 1
+    )
+  ),
+  first_hash AS (
+    SELECT url, bnode,
+      sha256(string_agg(nq_line, chr(10) ORDER BY nq_line)) AS first_hash,
+      COUNT(*) AS n_lines
+    FROM bnode_lines GROUP BY url, bnode
+  ),
+  issued AS (
+    SELECT url, bnode, first_hash,
+      'c14n' || CAST(
+        ROW_NUMBER() OVER (
+          PARTITION BY url ORDER BY first_hash, bnode
+        ) - 1 AS VARCHAR) AS canonical_id
+    FROM first_hash
+  )
+"""
+
+
+def triples():
+    return f"""WITH {QUADS_CTE}
+SELECT url, s_kind, s, p, o_kind, o, o_datatype, o_lang, g_kind, g
+FROM quads"""
+
+
+def dedup():
+    return f"""WITH {QUADS_CTE}
+SELECT url, s_kind, s, p, o_kind, o, o_datatype, o_lang, g_kind, g
+FROM dquads"""
+
+
+def first_degree_hash():
+    return f"""WITH {QUADS_CTE}
+SELECT url, bnode, first_hash, n_lines FROM first_hash"""
+
+
+def hash_groups():
+    return f"""WITH {QUADS_CTE}
+SELECT url, first_hash,
+  COUNT(*) AS group_size,
+  array_to_string(list_sort(list(bnode)), ',') AS members,
+  COUNT(*) = 1 AS is_unique
+FROM first_hash
+GROUP BY url, first_hash"""
+
+
+def issue_ids():
+    return f"""WITH {QUADS_CTE}
+SELECT url, bnode, first_hash, canonical_id FROM issued"""
+
+
+def relabel():
+    return f"""WITH {QUADS_CTE}
+SELECT
+  q.url, q.s_kind,
+  CASE WHEN q.s_kind = 1 AND si.canonical_id IS NOT NULL
+       THEN si.canonical_id ELSE q.s END AS s,
+  q.p, q.o_kind,
+  CASE WHEN q.o_kind = 1 AND oi.canonical_id IS NOT NULL
+       THEN oi.canonical_id ELSE q.o END AS o,
+  q.o_datatype, q.o_lang, q.g_kind, q.g
+FROM dquads q
+LEFT JOIN issued si ON q.url = si.url AND q.s = si.bnode
+LEFT JOIN issued oi ON q.url = oi.url AND q.o = oi.bnode"""
+
+
+def canonical_document():
+    return f"""WITH {QUADS_CTE},
+relabeled AS (
+  SELECT
+    q.url, q.s_kind,
+    CASE WHEN q.s_kind = 1 AND si.canonical_id IS NOT NULL
+         THEN si.canonical_id ELSE q.s END AS s,
+    q.p, q.o_kind,
+    CASE WHEN q.o_kind = 1 AND oi.canonical_id IS NOT NULL
+         THEN oi.canonical_id ELSE q.o END AS o,
+    q.o_datatype, q.o_lang, q.g_kind, q.g
+  FROM dquads q
+  LEFT JOIN issued si ON q.url = si.url AND q.s = si.bnode
+  LEFT JOIN issued oi ON q.url = oi.url AND q.o = oi.bnode
+),
+rlines AS (
+  SELECT url,
+    (CASE WHEN s_kind = 0 THEN '<' || s || '>' ELSE '_:' || s END)
+    || ' <' || p || '> '
+    || (CASE
+          WHEN o_kind = 0 THEN '<' || o || '>'
+          WHEN o_kind = 1 THEN '_:' || o
+          ELSE '"' || o || '"' ||
+            (CASE
+               WHEN o_lang IS NOT NULL THEN '@' || o_lang
+               WHEN o_datatype IS NOT NULL
+                 AND o_datatype <>
+                   'http://www.w3.org/2001/XMLSchema#string'
+                 AND o_datatype <> '{_LANGSTRING}'
+                 THEN chr(94) || chr(94) || '<' || o_datatype || '>'
+               ELSE ''
+             END)
+        END)
+    || ' .' AS nq_line
+  FROM relabeled
+)
+SELECT url,
+  string_agg(nq_line, chr(10) ORDER BY nq_line) AS doc_nquads,
+  COUNT(*) AS n_lines
+FROM rlines GROUP BY url"""

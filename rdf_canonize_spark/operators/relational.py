@@ -1,0 +1,180 @@
+"""Dataset-level relational analogues of the canonicalization stages.
+
+The reference runs these steps per document inside one process; at
+engine level each has a natural distributed form (SURVEY.md section 2
+"Spark primitive it maps to").  These power the driver-contract
+``queries()`` entries, each with a DuckDB oracle:
+
+* O2  per-graph distinct            -> ``dedup_quads``
+* O4  hash-first-degree (simplified) -> ``bnode_first_hash``
+* O5  hash-group + unique detection -> ``hash_groups``
+* O5b issue order (row_number)      -> ``issue_canonical_ids``
+* O11 relabel via label-map join    -> ``relabel_quads``
+* O13 global sort + concat          -> ``canonical_document``
+
+The simplification vs the real algorithm: first-degree hashing here
+serializes *without* the _:a/_:z substitution recursion (pure SQL can't
+do n-degree).  That's why the real canonize stage is an Arrow UDF; these
+analogues exist because at 100 TB you ALSO want the cheap SQL paths for
+the 95%+ of documents whose bnodes are already unique by first-degree
+hash (fast path), reserving the UDF for the rest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..rdfc.terms import BLANK, LITERAL, NAMED
+
+
+def serialize_line(df):
+    """N-Quad line per row, Catalyst-only (named/blank subjects+objects,
+    plain literals; datatype/lang handling mirrors the serializer)."""
+    s_term = F.when(F.col("s_kind") == NAMED,
+                    F.concat(F.lit("<"), F.col("s"), F.lit(">"))
+                    ).otherwise(F.concat(F.lit("_:"), F.col("s")))
+    o_term = (
+        F.when(F.col("o_kind") == NAMED,
+               F.concat(F.lit("<"), F.col("o"), F.lit(">")))
+        .when(F.col("o_kind") == BLANK,
+              F.concat(F.lit("_:"), F.col("o")))
+        .otherwise(
+            F.concat(
+                F.lit('"'), F.col("o"), F.lit('"'),
+                F.when(
+                    F.col("o_lang").isNotNull(),
+                    F.concat(F.lit("@"), F.col("o_lang")),
+                ).otherwise(
+                    F.when(
+                        F.col("o_datatype").isNotNull()
+                        & (F.col("o_datatype")
+                           != "http://www.w3.org/2001/XMLSchema#string")
+                        & (F.col("o_datatype")
+                           != "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"),
+                        F.concat(F.lit("^^<"), F.col("o_datatype"),
+                                 F.lit(">")),
+                    ).otherwise(F.lit(""))
+                ),
+            )
+        )
+    )
+    return df.withColumn(
+        "nq_line",
+        F.concat(s_term, F.lit(" <"), F.col("p"), F.lit("> "), o_term,
+                 F.lit(" .")),
+    )
+
+
+def dedup_quads(quads_df):
+    """O2: per-(url, graph) set semantics via exact-match distinct."""
+    return quads_df.select(
+        "url", "s_kind", "s", "p", "o_kind", "o",
+        "o_datatype", "o_lang", "g_kind", "g",
+    ).distinct()
+
+
+def bnode_first_hash(quads_df):
+    """O4 (simplified, SQL-expressible): per (url, bnode), SHA-256 over
+    the sorted concatenation of that bnode's incident serialized lines.
+
+    Distributed shape: explode bnode positions -> shuffle on
+    (url, bnode) -> sort_array(collect_list) -> sha2.  Map-side partial
+    aggregation applies to collect_list; the sort is per-group.
+    """
+    lines = serialize_line(dedup_quads(quads_df))
+    sub = lines.filter(F.col("s_kind") == BLANK).select(
+        "url", F.col("s").alias("bnode"), "nq_line"
+    )
+    obj = lines.filter(F.col("o_kind") == BLANK).select(
+        "url", F.col("o").alias("bnode"), "nq_line"
+    )
+    return (
+        sub.unionAll(obj)
+        .distinct()
+        .groupBy("url", "bnode")
+        .agg(
+            F.sha2(
+                F.concat_ws("\n", F.sort_array(F.collect_list("nq_line"))),
+                256,
+            ).alias("first_hash"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def hash_groups(quads_df):
+    """O5: group bnodes by first-degree hash; singleton groups are the
+    'unique' fast path that skips n-degree work."""
+    fh = bnode_first_hash(quads_df)
+    return fh.groupBy("url", "first_hash").agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.concat_ws(
+            ",", F.sort_array(F.collect_list("bnode"))
+        ).alias("members"),
+        (F.count(F.lit(1)) == 1).alias("is_unique"),
+    )
+
+
+def issue_canonical_ids(quads_df):
+    """O5b: issue c14n ids per url in first-degree-hash order
+    (``row_number() over (partition by url order by hash, bnode)``)."""
+    fh = bnode_first_hash(quads_df)
+    w = Window.partitionBy("url").orderBy("first_hash", "bnode")
+    return fh.select(
+        "url",
+        "bnode",
+        "first_hash",
+        F.concat(
+            F.lit("c14n"), (F.row_number().over(w) - 1).cast("string")
+        ).alias("canonical_id"),
+    )
+
+
+def relabel_quads(quads_df):
+    """O11: rewrite blank-node labels to canonical ids via a join against
+    the issued-id map, co-partitioned on url."""
+    ids = issue_canonical_ids(quads_df)
+    q = dedup_quads(quads_df)
+    s_ids = ids.select(
+        "url", F.col("bnode").alias("s"),
+        F.col("canonical_id").alias("s_c14n"),
+    )
+    o_ids = ids.select(
+        "url", F.col("bnode").alias("o"),
+        F.col("canonical_id").alias("o_c14n"),
+    )
+    return (
+        q.join(s_ids, ["url", "s"], "left")
+        .join(o_ids, ["url", "o"], "left")
+        .select(
+            "url",
+            "s_kind",
+            F.when(
+                (F.col("s_kind") == BLANK) & F.col("s_c14n").isNotNull(),
+                F.col("s_c14n"),
+            ).otherwise(F.col("s")).alias("s"),
+            "p",
+            "o_kind",
+            F.when(
+                (F.col("o_kind") == BLANK) & F.col("o_c14n").isNotNull(),
+                F.col("o_c14n"),
+            ).otherwise(F.col("o")).alias("o"),
+            "o_datatype",
+            "o_lang",
+            "g_kind",
+            "g",
+        )
+    )
+
+
+def canonical_document(quads_df):
+    """O13: per url, the sorted-concatenated canonical serialization of
+    the relabeled quads (one output row per document)."""
+    lines = serialize_line(relabel_quads(quads_df))
+    return lines.groupBy("url").agg(
+        F.concat_ws(
+            "\n", F.sort_array(F.collect_list("nq_line"))
+        ).alias("doc_nquads"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )

@@ -1,0 +1,170 @@
+"""End-to-end Spark pipeline tests.
+
+The load-bearing check: the ``groupBy('url').applyInPandas`` canonize
+stage must produce, for every document, byte-identical canonical
+N-Quads to the pure-Python core run standalone on that document's
+quads (which is itself differential-tested against the reference).
+"""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from rdf_canonize_spark.pipeline.canon_stage import (
+    canonize_documents,
+    rows_to_dataset,
+)
+from rdf_canonize_spark.pipeline.extract import (
+    extract_mentions,
+    extract_mentions_arrow,
+)
+from rdf_canonize_spark.pipeline.pages import (
+    pages_from_documents,
+    synthesize_pages,
+)
+from rdf_canonize_spark.pipeline.runner import run_pipeline
+from rdf_canonize_spark.rdfc import canonize
+from rdf_canonize_spark.rdfc.canonize import RDFC10
+
+N_PAGES = 120
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return synthesize_pages(spark, N_PAGES).cache()
+
+
+@pytest.fixture(scope="module")
+def results(spark, pages):
+    return run_pipeline(spark, pages, max_work_factor=3)
+
+
+def test_page_schema(pages):
+    assert [f.name for f in pages.schema.fields] == [
+        "url", "warc_ts", "html", "text", "lang",
+    ]
+    types = {f.name: f.dataType.simpleString() for f in pages.schema.fields}
+    assert types["warc_ts"] == "timestamp"
+    assert types["html"] == "binary"
+    assert pages.count() == N_PAGES
+
+
+def test_extraction_engines_agree(pages):
+    jvm = extract_mentions(pages)
+    arrow = extract_mentions_arrow(pages)
+    assert sorted(map(tuple, jvm.collect())) == sorted(
+        map(tuple, arrow.collect())
+    )
+    # every page yields 1 + k%5 statements
+    counts = dict(
+        jvm.groupBy("url").count().collect()
+    )
+    assert len(counts) == N_PAGES
+    for url, c in counts.items():
+        k = int(url.rsplit("/", 1)[1])
+        assert c == 1 + k % 5
+
+
+def test_every_page_canonizes(results):
+    canonical = results["canonical"].cache()
+    assert canonical.count() == N_PAGES
+    assert canonical.filter("error is not null").count() == 0
+    assert canonical.filter("nquads is null").count() == 0
+
+
+def test_spark_canonical_matches_pure_python(results):
+    """Per url: rebuild the dataset from the quad table rows and run the
+    pure-Python core; compare byte-for-byte with the Spark stage."""
+    quads = results["quads"]
+    canonical = {
+        r["url"]: (r["nquads"], dict(r["label_map"]))
+        for r in results["canonical"].collect()
+    }
+    cols = ["s_kind", "s", "p", "o_kind", "o",
+            "o_datatype", "o_lang", "g_kind", "g"]
+    by_url = {}
+    for row in quads.collect():
+        by_url.setdefault(row["url"], []).append(
+            tuple(row[c] for c in cols)
+        )
+    assert set(by_url) == set(canonical)
+    for url, rows in by_url.items():
+        dataset = rows_to_dataset(rows)
+        id_map = {}
+        expected = RDFC10(
+            canonical_id_map=id_map, max_work_factor=3
+        ).main(dataset)
+        got_nq, got_map = canonical[url]
+        assert got_nq == expected, url
+        assert got_map == id_map, url
+
+
+def test_canonical_output_is_repartition_invariant(spark, results):
+    """Content determinism: canonize after an adversarial repartition
+    and shuffled row order; outputs must be identical."""
+    quads = results["quads"]
+    shuffled = quads.repartition(13).sortWithinPartitions("o", "p")
+    a = {
+        r["url"]: r["nquads"]
+        for r in canonize_documents(quads, max_work_factor=3).collect()
+    }
+    b = {
+        r["url"]: r["nquads"]
+        for r in canonize_documents(shuffled, max_work_factor=3).collect()
+    }
+    assert a == b
+
+
+def test_blank_nodes_present_and_canonical(results):
+    """Unknown surfaces must become c14n-labelled bnodes in the output."""
+    some = (
+        results["canonical"]
+        .filter(F.size(F.map_keys("label_map")) > 0)
+        .limit(5)
+        .collect()
+    )
+    assert some, "expected at least one page with blank nodes"
+    for r in some:
+        assert all(v.startswith("c14n") for v in r["label_map"].values())
+        assert "_:c14n" in r["nquads"]
+
+
+def test_lineage_and_metrics(results):
+    lineage = results["lineage"]
+    assert lineage.filter("text_sha256 is null").count() == 0
+    m = results["metrics"].agg(
+        F.sum("n_urls"), F.sum("n_errors")
+    ).collect()[0]
+    assert m[0] == N_PAGES
+    assert m[1] == 0
+
+
+def test_nodes_skolemized(results):
+    """Blank nodes must not merge across documents."""
+    nodes = results["nodes"]
+    bn = nodes.filter("term_kind = 1")
+    assert bn.filter(~F.col("term").contains("#_:")).count() == 0
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    out = str(tmp_path / "ckpt")
+    pages = synthesize_pages(spark, 30).cache()
+    first = pages.limit(18)
+    run_pipeline(spark, first, max_work_factor=3, out_dir=out, batch_id=0)
+    # resume over the full table: only the remaining 12 pages process
+    from rdf_canonize_spark.pipeline.materialize import resume_filter
+
+    remaining = resume_filter(spark, pages, out)
+    assert remaining.count() == 12
+    run_pipeline(spark, pages, max_work_factor=3, out_dir=out, batch_id=1)
+    done = spark.read.parquet(f"{out}/canonical_nquads")
+    assert done.select("url").distinct().count() == 30
+
+
+def test_pages_from_documents(spark, sf_dir):
+    pages = pages_from_documents(spark, sf_dir)
+    row = pages.first()
+    assert row["url"].startswith("https://crawl.example.org/p/")
+    assert "KG: " in row["text"]
+    # html embeds the exact text (byte-identical extracted text invariant)
+    assert bytes(row["html"]).decode("utf-8").find(row["text"]) >= 0

@@ -1,0 +1,121 @@
+"""Driver-contract checker: mimics the verify harness.
+
+Runs ``entry(spark)`` as a smoke check, then every ``queries()[name]``
+at sf0.01 against ``oracle_sql()[name]`` through DuckDB, comparing
+row counts and order-insensitive value multisets (column-name-sorted,
+values normalized to strings with float rounding).
+
+Usage: python3 tools/check_contract.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm_value(v):
+    import datetime
+
+    if v is None:
+        return ""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return "%.6g" % v
+    if isinstance(v, datetime.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S")
+    return str(v)
+
+
+def norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        tuple(norm_value(r[i]) for i in order) for r in rows
+    )
+
+
+def main():
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from rdf_canonize_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark(app_name="contract-check", master="local[8]",
+                      shuffle_partitions=16)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    print("== entry() smoke ==")
+    t0 = time.time()
+    edf = entrymod.entry(spark)
+    n = edf.count()
+    print(f"entry rows={n} schema={[f.name for f in edf.schema.fields]} "
+          f"({time.time()-t0:.1f}s)")
+    assert n >= 0
+
+    qs = entrymod.queries()
+    os_ = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        sdf = fn(spark, sf_dir)
+        cols = [f.name for f in sdf.schema.fields]
+        srows = [tuple(r) for r in sdf.collect()]
+        elapsed = time.time() - t0
+        if name not in os_:
+            print(f"{name}: rows-only check rows={len(srows)} "
+                  f"({elapsed:.1f}s)")
+            continue
+        res = con.execute(os_[name])
+        ocols = [d[0] for d in res.description]
+        orows = res.fetchall()
+        ok_schema = sorted(cols) == sorted(ocols)
+        a = norm_rows(cols, srows)
+        b = norm_rows(ocols, orows)
+        ok = ok_schema and a == b
+        status = "OK " if ok else "FAIL"
+        print(f"{name}: {status} spark_rows={len(srows)} "
+              f"oracle_rows={len(orows)} schema_match={ok_schema} "
+              f"({elapsed:.1f}s)")
+        if not ok:
+            failures.append(name)
+            if not ok_schema:
+                print("  spark cols:", sorted(cols))
+                print("  oracle cols:", sorted(ocols))
+            else:
+                for x, y in list(zip(a, b))[:2000]:
+                    if x != y:
+                        print("  first diff:")
+                        print("   spark :", x)
+                        print("   oracle:", y)
+                        break
+                sa, sb = set(a), set(b)
+                print("  only-in-spark:", list(sa - sb)[:2])
+                print("  only-in-oracle:", list(sb - sa)[:2])
+    print("FAILURES:", failures or "none")
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
