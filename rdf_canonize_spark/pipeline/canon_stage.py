@@ -127,18 +127,217 @@ def make_canonize_fn(max_work_factor=3):
     return canonize_group
 
 
-def canonize_documents(quads_df, max_work_factor=3, num_partitions=None):
+def _canonize_rows_for_url(url, rows, max_work_factor):
+    dataset = rows_to_dataset(rows)
+    n_bnodes = len(
+        {
+            t[1]
+            for q in dataset
+            for t in (q[0], q[2], q[3])
+            if t[0] == BLANK
+        }
+    )
+    id_map = {}
+    engine = RDFC10(canonical_id_map=id_map, max_work_factor=max_work_factor)
+    try:
+        nquads = engine.main(dataset)
+        error = None
+        qh = hashlib.sha256(
+            nquads.encode("utf-8", "surrogatepass")
+        ).hexdigest()
+    except Exception as e:  # budget/timeout -> quarantine row
+        nquads, id_map, qh, error = None, None, None, str(e)
+    return {
+        "url": url,
+        "nquads": nquads,
+        "label_map": id_map,
+        "n_quads": len(dataset),
+        "n_bnodes": n_bnodes,
+        "deep_iterations": engine.deep_iterations_used,
+        "quads_hash": qh,
+        "error": error,
+    }
+
+
+_COLS = ["s_kind", "s", "p", "o_kind", "o",
+         "o_datatype", "o_lang", "g_kind", "g"]
+
+
+def make_canonize_map_fn(max_work_factor=3):
+    """``mapInPandas`` kernel: many documents per Arrow batch.
+
+    Requires rows sorted by url within each partition and each url
+    wholly contained in one partition.  A url whose rows straddle an
+    Arrow-batch boundary is carried into the next batch; batch
+    boundaries never split a document's output.
+
+    This is the scale path: ``applyInPandas`` pays per-group overhead
+    (one Python call + frame per document), which dominates when
+    documents are small -- the common case in web corpora.  Here the
+    per-document cost is one dict append.
+    """
+
+    def canonize_partition(batches):
+        carry = None
+
+        def process(pdf):
+            out = []
+            url_col = pdf["url"].values
+            col_vals = [pdf[c].values for c in _COLS]
+            cur_url = None
+            cur_rows = []
+            for i in range(len(pdf)):
+                u = url_col[i]
+                if u != cur_url:
+                    if cur_url is not None:
+                        out.append(
+                            _canonize_rows_for_url(
+                                cur_url, cur_rows, max_work_factor
+                            )
+                        )
+                    cur_url, cur_rows = u, []
+                cur_rows.append(tuple(v[i] for v in col_vals))
+            if cur_url is not None:
+                out.append(
+                    _canonize_rows_for_url(cur_url, cur_rows, max_work_factor)
+                )
+            return pd.DataFrame(out)
+
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if len(pdf) == 0:
+                continue
+            last_url = pdf["url"].iat[len(pdf) - 1]
+            mask = pdf["url"] == last_url
+            carry = pdf[mask]
+            complete = pdf[~mask]
+            if len(complete):
+                yield process(complete)
+        if carry is not None and len(carry):
+            yield process(carry)
+
+    return canonize_partition
+
+
+def make_canonize_arrow_fn(max_work_factor=3):
+    """``mapInArrow`` kernel: pyarrow batches in and out, no pandas.
+
+    Same contract as the pandas kernel (url-sorted partitions, urls not
+    split across partitions), but the Arrow<->Python boundary is raw
+    ``to_pylist`` / ``RecordBatch.from_arrays`` -- measured ~2-3x less
+    overhead than the pandas conversion for this row shape, which
+    matters because transport, not canonicalization, is the stage's
+    marginal cost for small documents.
+    """
+    import pyarrow as pa
+
+    out_type = pa.schema(
+        [
+            ("url", pa.string()),
+            ("nquads", pa.string()),
+            ("label_map", pa.map_(pa.string(), pa.string())),
+            ("n_quads", pa.int32()),
+            ("n_bnodes", pa.int32()),
+            ("deep_iterations", pa.int64()),
+            ("quads_hash", pa.string()),
+            ("error", pa.string()),
+        ]
+    )
+
+    def flush(results):
+        cols = list(zip(*results)) if results else [[]] * 8
+        arrays = [
+            pa.array(cols[0], pa.string()),
+            pa.array(cols[1], pa.string()),
+            pa.array(
+                [None if m is None else list(m.items()) for m in cols[2]],
+                pa.map_(pa.string(), pa.string()),
+            ),
+            pa.array(cols[3], pa.int32()),
+            pa.array(cols[4], pa.int32()),
+            pa.array(cols[5], pa.int64()),
+            pa.array(cols[6], pa.string()),
+            pa.array(cols[7], pa.string()),
+        ]
+        return pa.RecordBatch.from_arrays(arrays, schema=out_type)
+
+    def canonize_doc(url, rows):
+        r = _canonize_rows_for_url(url, rows, max_work_factor)
+        return (
+            r["url"], r["nquads"], r["label_map"], r["n_quads"],
+            r["n_bnodes"], r["deep_iterations"], r["quads_hash"],
+            r["error"],
+        )
+
+    def canonize_partition(batches):
+        cur_url = None
+        cur_rows = []
+        for batch in batches:
+            urls = batch.column(0).to_pylist()
+            if not urls:
+                continue
+            col_vals = [
+                batch.column(i).to_pylist()
+                for i in range(1, batch.num_columns)
+            ]
+            results = []
+            for i, u in enumerate(urls):
+                if u != cur_url:
+                    if cur_url is not None:
+                        results.append(canonize_doc(cur_url, cur_rows))
+                    cur_url, cur_rows = u, []
+                cur_rows.append(tuple(v[i] for v in col_vals))
+            if results:
+                yield flush(results)
+        if cur_url is not None:
+            yield flush([canonize_doc(cur_url, cur_rows)])
+
+    return canonize_partition
+
+
+def canonize_documents(
+    quads_df, max_work_factor=3, num_partitions=None, strategy="colocated"
+):
     """quads -> canonical_nquads(url, nquads, label_map, ...).
 
-    The ``groupBy('url')`` shuffle is the only data movement; url keys
-    are high-cardinality and uniform (no hub skew -- entity skew lives
-    on the entity side, handled in aggregations, not here).  An explicit
-    ``repartition`` is available for clusters where group count must
-    far exceed core count.
+    Strategies:
+
+    * ``'colocated'`` (default) -- zero-shuffle: ``sortWithinPartitions
+      ('url')`` (partition-local sort) + ``mapInPandas``.  Valid when
+      each url's quads already live in one partition, which
+      ``build_quads`` guarantees (narrow explode + broadcast joins over
+      one pages scan).  At 100 TB this saves the single biggest cost in
+      the job: a full shuffle of the quad table.
+    * ``'repartition'`` -- generic inputs: hash-repartition on url
+      first, then the same batched kernel.  url is high-cardinality and
+      uniform, so no skew handling is needed on this key.
+    * ``'grouped'`` -- reference-shaped ``groupBy.applyInPandas``; one
+      Python call per document.  Kept for differential testing.
     """
-    df = quads_df
-    if num_partitions:
-        df = df.repartition(num_partitions, "url")
-    return df.groupBy("url").applyInPandas(
-        make_canonize_fn(max_work_factor), CANONICAL_SCHEMA
+    if strategy == "grouped":
+        df = quads_df
+        if num_partitions:
+            df = df.repartition(num_partitions, "url")
+        return df.groupBy("url").applyInPandas(
+            make_canonize_fn(max_work_factor), CANONICAL_SCHEMA
+        )
+    if strategy == "repartition":
+        df = quads_df.repartition(
+            num_partitions or quads_df.sparkSession.sparkContext
+            .defaultParallelism,
+            "url",
+        )
+    elif strategy in ("colocated", "colocated_pandas"):
+        df = quads_df
+    else:
+        raise ValueError(f"unknown strategy: {strategy}")
+    df = df.select("url", *_COLS).sortWithinPartitions("url")
+    if strategy == "colocated_pandas":
+        return df.mapInPandas(
+            make_canonize_map_fn(max_work_factor), CANONICAL_SCHEMA
+        )
+    return df.mapInArrow(
+        make_canonize_arrow_fn(max_work_factor), CANONICAL_SCHEMA
     )

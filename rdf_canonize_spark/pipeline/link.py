@@ -104,11 +104,79 @@ def page_title_quads(pages_df):
     )
 
 
-def build_quads(pages_df, gaz_df, extract_fn=None):
-    """pages -> quads: extraction + linking + assembly + title quads."""
+def build_quads(pages_df, gaz_df, extract_fn=None, colocated=True):
+    """pages -> quads: extraction + linking + assembly + title quads.
+
+    With ``colocated=True`` (default) statement and title quads are
+    produced from ONE projection of the pages scan, so every url's quads
+    live in the same partition with no shuffle: the explode is narrow and
+    the gazetteer joins are broadcasts.  The canonize stage can then use
+    its zero-shuffle strategy.  ``colocated=False`` keeps the two-branch
+    union (used to test the generic repartition path).
+    """
     from .extract import extract_mentions
 
     extract_fn = extract_fn or extract_mentions
-    mentions = extract_fn(pages_df)
+    if not colocated:
+        mentions = extract_fn(pages_df)
+        linked = link_mentions(mentions, gaz_df)
+        return assemble_quads(linked).unionByName(page_title_quads(pages_df))
+
+    from .extract import STATEMENT_PATTERN
+
+    # one row-set: exploded statements plus a title marker row per page
+    marker = F.array(F.lit("__TITLE__"))
+    stmts = pages_df.select(
+        "url",
+        F.explode(
+            F.concat(
+                F.regexp_extract_all(
+                    "text", F.lit(STATEMENT_PATTERN), F.lit(1)
+                ),
+                marker,
+            )
+        ).alias("stmt"),
+    )
+    parts = F.split(F.col("stmt"), " ")
+    mentions = stmts.select(
+        "url",
+        (F.col("stmt") == "__TITLE__").alias("is_title"),
+        # F.get tolerates the 1-token marker row (ANSI mode)
+        F.get(parts, 0).alias("s_surface"),
+        F.get(parts, 1).alias("relation"),
+        F.get(parts, 2).alias("o_surface"),
+    )
     linked = link_mentions(mentions, gaz_df)
-    return assemble_quads(linked).unionByName(page_title_quads(pages_df))
+    rel_map = F.create_map(
+        *[x for r in RELATIONS for x in (F.lit(r), F.lit(predicate_iri(r)))]
+    )
+    langstring = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+    return linked.select(
+        "url",
+        F.when(F.col("is_title"), F.lit(NAMED))
+        .when(F.col("s_iri").isNotNull(), F.lit(NAMED))
+        .otherwise(F.lit(BLANK))
+        .alias("s_kind"),
+        F.when(F.col("is_title"), F.col("url"))
+        .otherwise(F.coalesce("s_iri", "s_surface"))
+        .alias("s"),
+        F.when(F.col("is_title"), F.lit(PRED_NS + "title"))
+        .otherwise(rel_map[F.col("relation")])
+        .alias("p"),
+        F.when(F.col("is_title"), F.lit(LITERAL))
+        .when(F.col("o_iri").isNotNull(), F.lit(NAMED))
+        .otherwise(F.lit(BLANK))
+        .alias("o_kind"),
+        F.when(
+            F.col("is_title"),
+            F.concat(F.lit("Page "), F.substring("url", -12, 12)),
+        )
+        .otherwise(F.coalesce("o_iri", "o_surface"))
+        .alias("o"),
+        F.when(F.col("is_title"), F.lit(langstring))
+        .cast("string")
+        .alias("o_datatype"),
+        F.when(F.col("is_title"), F.lit("en")).cast("string").alias("o_lang"),
+        F.lit(DEFAULT_GRAPH).alias("g_kind"),
+        F.lit("").alias("g"),
+    )

@@ -40,14 +40,19 @@ _EPOCH = 1767225600
 _LANGS = "array('en', 'de', 'fr', 'es')"
 
 
+# upper bound of the per-page statement loop; heavy generator overrides
+_STATEMENTS_M_EXPR = "cast(pmod({k}, 5) as int)"
+
+
 def _statements_sql(k="k"):
     """Spark SQL expression producing the concatenated statement text."""
     surf = sql_array_surfaces()
     rel = sql_array_relations()
+    m_expr = _STATEMENTS_M_EXPR.format(k=k)
     return f"""
       array_join(
         transform(
-          sequence(0, cast(pmod({k}, 5) as int)),
+          sequence(0, {m_expr}),
           i -> concat(
             'KG: ',
             element_at({surf}, cast(pmod({k} * 7 + i * 13, 200) as int) + 1),
@@ -124,6 +129,31 @@ def synthesize_pages(spark, n_docs, partitions=None):
         "concat('Synthetic crawl body for page ', cast(k as string), '.')",
         f"element_at({_LANGS}, cast(pmod(k, 4) as int) + 1)",
     )
+
+
+def synthesize_heavy_pages(spark, n_docs, partitions=None):
+    """Benchmark corpus: like ``synthesize_pages`` but 17-24 statements
+    per page (m = 16 + k % 8), approximating content-dense pages.  Used
+    for throughput/scaling runs where per-document canonicalization
+    work should dominate transport; NOT oracle-checked (the oracle
+    formula pins m = 1 + k % 5)."""
+    rng = spark.range(
+        0, n_docs, 1,
+        partitions or spark.sparkContext.defaultParallelism,
+    )
+    df = rng.withColumnRenamed("id", "k")
+    global _STATEMENTS_M_EXPR
+    saved = _STATEMENTS_M_EXPR
+    try:
+        _STATEMENTS_M_EXPR = "15 + cast(pmod({k}, 8) as int)"
+        return _with_page_columns(
+            df,
+            "k",
+            "concat('Synthetic crawl body for page ', cast(k as string), '.')",
+            f"element_at({_LANGS}, cast(pmod(k, 4) as int) + 1)",
+        )
+    finally:
+        _STATEMENTS_M_EXPR = saved
 
 
 def pages_from_documents(spark, sf_dir):

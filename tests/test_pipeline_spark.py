@@ -103,6 +103,8 @@ def test_canonical_output_is_repartition_invariant(spark, results):
     """Content determinism: canonize after an adversarial repartition
     and shuffled row order; outputs must be identical."""
     quads = results["quads"]
+    # round-robin repartition scatters a url's rows across partitions;
+    # the generic 'repartition' strategy must regroup and still match
     shuffled = quads.repartition(13).sortWithinPartitions("o", "p")
     a = {
         r["url"]: r["nquads"]
@@ -110,9 +112,18 @@ def test_canonical_output_is_repartition_invariant(spark, results):
     }
     b = {
         r["url"]: r["nquads"]
-        for r in canonize_documents(shuffled, max_work_factor=3).collect()
+        for r in canonize_documents(
+            shuffled, max_work_factor=3, strategy="repartition"
+        ).collect()
+    }
+    c = {
+        r["url"]: r["nquads"]
+        for r in canonize_documents(
+            shuffled, max_work_factor=3, strategy="grouped"
+        ).collect()
     }
     assert a == b
+    assert a == c
 
 
 def test_blank_nodes_present_and_canonical(results):
