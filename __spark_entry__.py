@@ -18,7 +18,14 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from rdf_canonize_spark.operators import oracles, relational
+from rdf_canonize_spark.operators import (
+    dedup,
+    oracle_ops,
+    oracles,
+    relational,
+    similarity,
+    textstats,
+)
 from rdf_canonize_spark.pipeline.canon_stage import canonize_documents
 from rdf_canonize_spark.pipeline.link import build_quads, gazetteer_df
 from rdf_canonize_spark.pipeline.pages import pages_from_documents
@@ -144,8 +151,90 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+# --- training-data operators -----------------------------------------------------
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(dedup.near_dup_corpus(spark, sf_dir))
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    return dedup.jaccard_pairs(
+        dedup.near_dup_corpus(spark, sf_dir), threshold=0.5
+    )
+
+
+def q_dedup_minhash_signatures(spark, sf_dir):
+    return dedup.minhash_signatures(dedup.near_dup_corpus(spark, sf_dir))
+
+
+def q_dedup_lsh_candidates(spark, sf_dir):
+    return dedup.lsh_candidates(dedup.near_dup_corpus(spark, sf_dir))
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return dedup.simhash(dedup.near_dup_corpus(spark, sf_dir))
+
+
+def q_text_lang_id(spark, sf_dir):
+    return textstats.lang_id(_docs(spark, sf_dir))
+
+
+def q_text_quality(spark, sf_dir):
+    return textstats.quality_score(_docs(spark, sf_dir))
+
+
+def q_text_token_counts(spark, sf_dir):
+    return textstats.token_counts(_docs(spark, sf_dir))
+
+
+def q_text_fingerprint(spark, sf_dir):
+    return textstats.fingerprint(_docs(spark, sf_dir))
+
+
+def q_ann_brute_force(spark, sf_dir):
+    return similarity.brute_force_topk(spark, sf_dir)
+
+
+def q_ann_ivf(spark, sf_dir):
+    return similarity.ivf_topk(spark, sf_dir)
+
+
+def q_ann_lsh(spark, sf_dir):
+    return similarity.lsh_ann_topk(spark, sf_dir)
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing: binary payloads -> Arrow-batched feature
+    extraction (decode stubbed; metadata columns oracle-checked)."""
+    from rdf_canonize_spark.operators import multimodal
+
+    pages = pages_from_documents(spark, sf_dir)
+    feats = multimodal.extract_media_features(
+        multimodal.attach_media(pages)
+    )
+    return feats.select(
+        "url", "media_type", "media_len", "media_sha256", "decode_status"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard_pairs": q_dedup_jaccard,
+        "dedup_minhash_signatures": q_dedup_minhash_signatures,
+        "dedup_lsh_candidates": q_dedup_lsh_candidates,
+        "dedup_simhash": q_dedup_simhash,
+        "text_lang_id": q_text_lang_id,
+        "text_quality": q_text_quality,
+        "text_token_counts": q_text_token_counts,
+        "text_fingerprint": q_text_fingerprint,
+        "ann_brute_force_topk": q_ann_brute_force,
+        "ann_ivf_topk": q_ann_ivf,
+        "ann_lsh_topk": q_ann_lsh,
+        "media_features": q_media_features,
         "triples_extract": q_triples_extract,
         "dedup_quads": q_dedup_quads,
         "first_degree_hash": q_first_degree_hash,
@@ -162,6 +251,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "dedup_exact": oracle_ops.exact_dedup(),
+        "dedup_jaccard_pairs": oracle_ops.jaccard_pairs(threshold=0.5),
+        "dedup_minhash_signatures": oracle_ops.minhash_signatures(),
+        "dedup_lsh_candidates": oracle_ops.lsh_candidates(),
+        "dedup_simhash": oracle_ops.simhash(),
+        "text_lang_id": oracle_ops.lang_id(),
+        "text_quality": oracle_ops.quality_score(),
+        "text_token_counts": oracle_ops.token_counts(),
+        "text_fingerprint": oracle_ops.fingerprint(),
+        "ann_brute_force_topk": oracle_ops.brute_force_topk(),
+        "ann_ivf_topk": oracle_ops.ivf_topk(),
+        "ann_lsh_topk": oracle_ops.lsh_ann_topk(),
+        "media_features": oracle_ops.media_features(),
         "triples_extract": oracles.triples(),
         "dedup_quads": oracles.dedup(),
         "first_degree_hash": oracles.first_degree_hash(),

@@ -1,0 +1,211 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact (hash-groupBy), n-gram Jaccard, MinHash+LSH, SimHash -- every
+variant built from Catalyst primitives with an equivalent DuckDB-
+expressible formulation so the driver oracle can verify it.
+
+Hash choices are deliberately engine-portable: ``md5``/``sha2`` hex
+strings (identical lowercase output in Spark and DuckDB) rather than
+engine-native ``hash()`` (xxhash64 in Spark, different in DuckDB).
+MinHash minima are taken over *hex strings* -- lexicographic min of a
+uniform hash is as valid a sketch as numeric min, and both engines
+compare ASCII identically.
+
+Scale notes (100 TB):
+* shingle explode -> self-join is the textbook LSH shape: the join key
+  (band hash) is uniform by construction, so no skew salting needed;
+* ``groupBy(doc).agg(min)`` per seed is a partial-aggregating shuffle
+  (map-side combine cuts it by the shingle count);
+* candidate verification (exact Jaccard) runs only on LSH survivors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+N_MINHASH = 16
+LSH_BANDS = 4  # 4 rows per band
+SHINGLE_N = 3
+
+
+def near_dup_corpus(spark, sf_dir):
+    """documents + a deterministic near-duplicate of every 3rd doc
+    (first word dropped) + an exact duplicate of every 10th doc.
+    Mirrors a crawl with boilerplate reposts; the construction is pure
+    SQL so the oracle can rebuild it."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    near = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.expr(
+                "substring(text, instr(text, ' ') + 1)"
+            ).alias("text"),
+        )
+    )
+    exact = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+    )
+    return docs.unionAll(near).unionAll(exact)
+
+
+def exact_dedup(corpus):
+    """Hash-groupBy exact dedup: one shuffle on the content hash,
+    map-side partial agg.  Keeper = min doc_id."""
+    return (
+        corpus.groupBy(F.sha2(F.col("text"), 256).alias("text_sha256"))
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def word_shingles(corpus, n=SHINGLE_N):
+    """Distinct word n-grams per document (Catalyst higher-order fns;
+    no Python)."""
+    words = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", F.slice(words, i + 1, n)
+        ),
+    )
+    return corpus.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("shingle")
+    ).filter(F.length("shingle") > 0)
+
+
+def jaccard_pairs(corpus, threshold=0.5):
+    """Exact n-gram Jaccard similarity for all pairs sharing >= 1
+    shingle.  Self-join on shingle, then |A&B| / (|A|+|B|-|A&B|)."""
+    sh = word_shingles(corpus).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b")
+    )
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(corpus, n_hashes=N_MINHASH):
+    """Per (doc, seed): min over shingles of md5(seed || '|' || shingle).
+    Lexicographic min of hex = a valid uniform minhash."""
+    sh = word_shingles(corpus)
+    seeds = F.explode(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1))
+    ).alias("seed")
+    return (
+        sh.select("doc_id", "shingle", seeds)
+        .select(
+            "doc_id",
+            "seed",
+            F.md5(
+                F.concat_ws("|", F.col("seed").cast("string"), "shingle")
+            ).alias("h"),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def lsh_bands(corpus, n_hashes=N_MINHASH, bands=LSH_BANDS):
+    """Band the signature: band key = md5 of the concatenated row
+    minima (rows ordered by seed)."""
+    sig = minhash_signatures(corpus, n_hashes)
+    rows_per_band = n_hashes // bands
+    banded = sig.withColumn(
+        "band", (F.col("seed") / rows_per_band).cast("int")
+    )
+    return banded.groupBy("doc_id", "band").agg(
+        F.md5(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("seed", "minhash"))
+                    ),
+                    lambda s: s["minhash"],
+                ),
+            )
+        ).alias("band_key")
+    )
+
+
+def lsh_candidates(corpus, n_hashes=N_MINHASH, bands=LSH_BANDS):
+    """Candidate near-dup pairs: docs sharing any band bucket.  The
+    bucket join replaces the quadratic all-pairs comparison -- this is
+    the 100 TB path (jaccard_pairs verifies survivors)."""
+    b = lsh_bands(corpus, n_hashes, bands)
+    x = b.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
+    y = b.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
+    return (
+        x.join(y, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+_HEXDIGITS = "0123456789abcdef"
+SIMHASH_BITS = 16
+
+
+def simhash(corpus, bits=SIMHASH_BITS):
+    """Per-document SimHash over distinct words.
+
+    bit j of md5(word): hex digit d = j // 4 (1-based position d+1),
+    bit r = j % 4; digit value via position in the hex alphabet --
+    identical arithmetic is expressible in DuckDB (no hex->int cast
+    needed in either engine).  Output: the bits as a 16-char 0/1 string
+    (MSB = bit 15) plus the signed accumulator per document.
+    """
+    words = corpus.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.col("text"), " "))
+        ).alias("w"),
+    ).filter(F.length("w") > 0)
+    h = F.md5(F.col("w"))
+    cols = []
+    for j in range(bits):
+        d = j // 4 + 1
+        r = j % 4
+        # conv(hexdigit,16,10) == strpos(hex_alphabet, digit)-1 (oracle)
+        digit = F.conv(F.substring(h, d, 1), 16, 10).cast("int")
+        bit = F.shiftright(digit, r).bitwiseAND(F.lit(1))
+        cols.append(
+            F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"b{j}")
+        )
+    acc = words.groupBy("doc_id").agg(*cols)
+    bitstr = F.concat(
+        *[
+            F.when(F.col(f"b{j}") > 0, F.lit("1")).otherwise(F.lit("0"))
+            for j in range(bits - 1, -1, -1)
+        ]
+    )
+    return acc.select("doc_id", bitstr.alias("simhash_bits"))

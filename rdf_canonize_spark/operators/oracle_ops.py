@@ -1,0 +1,327 @@
+"""DuckDB oracle SQL for the training-data operators (dedup,
+similarity, text analysis).  Formulations mirror the Spark operators
+exactly: portable hashes (md5/sha256 hex), identical shingle and token
+definitions, identical tie-break orders, double-precision vector math.
+"""
+
+from __future__ import annotations
+
+from .dedup import LSH_BANDS, N_MINHASH, SHINGLE_N, SIMHASH_BITS
+from .similarity import (
+    EMB_DIM,
+    N_QUERIES,
+    TOP_K,
+    _hyperplanes,
+)
+from .textstats import (
+    FINGERPRINT_WINDOW,
+    LANG_ORDER,
+    STOPWORDS,
+    TOKEN_PATTERN,
+)
+
+CORPUS_CTE = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         substr(text, strpos(text, ' ') + 1) AS text
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text
+  FROM documents WHERE doc_id % 10 = 0
+)
+"""
+
+SHINGLES_CTE = f"""
+docw AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM corpus
+),
+shingles AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+      unnest(list_distinct(list_transform(
+        range(0, greatest(len(words) - {SHINGLE_N}, 0) + 1),
+        i -> array_to_string(
+               words[CAST(i + 1 AS INT):CAST(i + {SHINGLE_N} AS INT)],
+               ' ')
+      ))) AS shingle
+    FROM docw
+  ) WHERE length(shingle) > 0
+)
+"""
+
+
+def exact_dedup():
+    return f"""WITH {CORPUS_CTE}
+SELECT sha256(text) AS text_sha256,
+       MIN(doc_id) AS keeper_id,
+       COUNT(*) AS n_copies
+FROM corpus GROUP BY sha256(text)"""
+
+
+def jaccard_pairs(threshold=0.5):
+    return f"""WITH {CORPUS_CTE}, {SHINGLES_CTE},
+sizes AS (
+  SELECT doc_id, COUNT(*) AS n_shingles FROM shingles GROUP BY doc_id
+),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(c.n_common AS DOUBLE)
+         / (sa.n_shingles + sb.n_shingles - c.n_common) AS jaccard
+FROM common c
+JOIN sizes sa ON c.doc_a = sa.doc_id
+JOIN sizes sb ON c.doc_b = sb.doc_id
+WHERE CAST(c.n_common AS DOUBLE)
+      / (sa.n_shingles + sb.n_shingles - c.n_common) >= {threshold}"""
+
+
+MINHASH_CTE = f"""
+mh AS (
+  SELECT doc_id, seed,
+         MIN(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS minhash
+  FROM shingles, (SELECT unnest(range(0, {N_MINHASH})) AS seed)
+  GROUP BY doc_id, seed
+)
+"""
+
+
+def minhash_signatures():
+    return f"""WITH {CORPUS_CTE}, {SHINGLES_CTE}, {MINHASH_CTE}
+SELECT doc_id, CAST(seed AS INT) AS seed, minhash FROM mh"""
+
+
+BANDS_CTE = f"""
+bands AS (
+  SELECT doc_id, CAST(seed // {N_MINHASH // LSH_BANDS} AS INT) AS band,
+         md5(string_agg(minhash, '' ORDER BY seed)) AS band_key
+  FROM mh
+  GROUP BY doc_id, seed // {N_MINHASH // LSH_BANDS}
+)
+"""
+
+
+def lsh_candidates():
+    return f"""WITH {CORPUS_CTE}, {SHINGLES_CTE}, {MINHASH_CTE}, {BANDS_CTE}
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+WHERE a.doc_id < b.doc_id"""
+
+
+def simhash():
+    sums = []
+    for j in range(SIMHASH_BITS):
+        d = j // 4 + 1
+        r = j % 4
+        digit = f"(strpos('0123456789abcdef', substr(h, {d}, 1)) - 1)"
+        bit = f"(({digit} >> {r}) & 1)"
+        sums.append(
+            f"SUM(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END) AS b{j}"
+        )
+    concat = " || ".join(
+        f"(CASE WHEN b{j} > 0 THEN '1' ELSE '0' END)"
+        for j in range(SIMHASH_BITS - 1, -1, -1)
+    )
+    return f"""WITH {CORPUS_CTE},
+wrds AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+  FROM corpus
+),
+hashed AS (
+  SELECT doc_id, md5(w) AS h FROM wrds WHERE length(w) > 0
+),
+acc AS (
+  SELECT doc_id, {', '.join(sums)} FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, {concat} AS simhash_bits FROM acc"""
+
+
+# --- text analysis --------------------------------------------------------------
+def _stop_list(lang):
+    return "[" + ", ".join("'%s'" % w for w in STOPWORDS[lang]) + "]"
+
+
+def lang_id():
+    hit_exprs = ", ".join(
+        f"len(list_filter(string_split(text, ' '), "
+        f"w -> list_contains({_stop_list(lang)}, w))) AS {lang}_hits"
+        for lang in LANG_ORDER
+    )
+    return f"""WITH hits AS (
+  SELECT doc_id, {hit_exprs},
+         len(string_split(text, ' ')) AS n_words
+  FROM documents
+)
+SELECT doc_id,
+  CASE
+    WHEN en_hits >= greatest(de_hits, fr_hits, es_hits) THEN 'en'
+    WHEN de_hits >= greatest(fr_hits, es_hits) THEN 'de'
+    WHEN fr_hits >= es_hits THEN 'fr'
+    ELSE 'es'
+  END AS lang_pred,
+  en_hits, de_hits, fr_hits, es_hits, n_words
+FROM hits"""
+
+
+def quality_score():
+    en = _stop_list("en")
+    return f"""WITH base AS (
+  SELECT doc_id,
+    length(text) AS n_chars,
+    len(string_split(text, ' ')) AS n_words,
+    len(string_split_regex(text, '[^a-zA-Z0-9\\s]')) - 1 AS n_punct,
+    len(list_filter(string_split(text, ' '),
+        w -> list_contains({en}, w))) AS n_stop
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, n_chars, n_words, n_punct,
+    CAST(n_stop AS DOUBLE) / greatest(n_words, 1) AS stop_ratio,
+    CAST(n_chars - n_words + 1 AS DOUBLE)
+      / greatest(n_words, 1) AS mean_word_len,
+    CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) AS punct_ratio
+  FROM base
+)
+SELECT doc_id, n_chars, n_words, n_punct,
+  round(stop_ratio, 6) AS stop_ratio,
+  round(mean_word_len, 6) AS mean_word_len,
+  round(punct_ratio, 6) AS punct_ratio,
+  round(
+    least(n_words / 100.0, 1.0) * 0.4
+    + least(stop_ratio * 5.0, 1.0) * 0.3
+    + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.3, 6) AS quality
+FROM feat"""
+
+
+def token_counts():
+    return f"""SELECT doc_id,
+  len(string_split(text, ' ')) AS n_words,
+  len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS n_tokens
+FROM documents"""
+
+
+def fingerprint():
+    w = FINGERPRINT_WINDOW
+    return f"""SELECT doc_id,
+  list_min(list_transform(
+    range(1, greatest(length(text) - {w} + 1, 1) + 1),
+    i -> md5(substr(text, CAST(i AS INT), {w}))
+  )) AS min_gram_hash,
+  md5(text) AS full_hash
+FROM documents"""
+
+
+def media_features():
+    """Metadata columns of the multimodal feature extractor: the html
+    payload is a deterministic function of the document, so byte length
+    and sha256 are SQL-derivable."""
+    from ..pipeline.pages import duckdb_statements_sql
+
+    stmts = duckdb_statements_sql("k")
+    return f"""WITH docs AS (
+  SELECT doc_id AS k, text AS base_text FROM documents
+),
+pages AS (
+  SELECT
+    'https://crawl.example.org/p/' || lpad(CAST(k AS VARCHAR), 12, '0')
+      AS url,
+    '<html><body><p>' || base_text || ' ' || {stmts}
+      || '</p></body></html>' AS html_str
+  FROM docs
+)
+SELECT url,
+  'text/html' AS media_type,
+  CAST(octet_length(encode(html_str)) AS INT) AS media_len,
+  sha256(html_str) AS media_sha256,
+  'stubbed' AS decode_status
+FROM pages"""
+
+
+# --- similarity -----------------------------------------------------------------
+_EMB_CTE = f"""
+e AS (
+  SELECT vec_id, v, label FROM (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+    FROM embeddings
+  ) WHERE list_dot_product(v, v) > 0
+),
+q AS (
+  SELECT vec_id AS query_id, v AS qv, label AS qlabel
+  FROM e WHERE vec_id < {N_QUERIES}
+)
+"""
+
+_COS = (
+    "list_dot_product(e.v, q.qv) / "
+    "(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv)))"
+)
+
+
+def _ranked(where, k=TOP_K):
+    return f"""WITH {_EMB_CTE},
+scored AS (
+  SELECT q.query_id, e.vec_id, {_COS} AS cosine
+  FROM e, q
+  WHERE e.vec_id <> q.query_id AND {where}
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+    CAST(ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+    ) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, round(cosine, 6) AS cosine, rank
+FROM ranked WHERE rank <= {k}"""
+
+
+def brute_force_topk():
+    return _ranked("TRUE")
+
+
+def ivf_topk():
+    return _ranked("e.label = q.qlabel")
+
+
+def lsh_ann_topk():
+    planes = _hyperplanes()
+    def bucket(v):
+        bits = []
+        for row in planes:
+            lit = "[" + ", ".join(str(x) for x in row) + "]"
+            bits.append(
+                f"(CASE WHEN list_dot_product({v}, "
+                f"CAST({lit} AS DOUBLE[])) >= 0 "
+                f"THEN '1' ELSE '0' END)"
+            )
+        return " || ".join(bits)
+    return f"""WITH {_EMB_CTE},
+ed AS (SELECT * FROM e WHERE len(v) = {EMB_DIM}),
+eb AS (SELECT vec_id, v, {bucket('v')} AS bucket FROM ed),
+qb AS (
+  SELECT query_id, qv, {bucket('qv')} AS qbucket
+  FROM q WHERE len(qv) = {EMB_DIM}
+),
+scored AS (
+  SELECT qb.query_id, eb.vec_id,
+    list_dot_product(eb.v, qb.qv) /
+      (sqrt(list_dot_product(eb.v, eb.v)) *
+       sqrt(list_dot_product(qb.qv, qb.qv))) AS cosine
+  FROM eb JOIN qb ON eb.bucket = qb.qbucket
+  WHERE eb.vec_id <> qb.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+    CAST(ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+    ) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, round(cosine, 6) AS cosine, rank
+FROM ranked WHERE rank <= {TOP_K}"""

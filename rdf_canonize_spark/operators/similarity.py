@@ -1,0 +1,159 @@
+"""Similarity search over the embeddings table (``array<float>``).
+
+* ``brute_force_topk`` -- exact cosine top-k, the correctness baseline.
+  Dot products via ``zip_with`` + ``aggregate`` in DOUBLE (bit-identical
+  to the oracle's double-precision left-to-right sum).
+* ``ivf_topk`` -- the scale path: candidate set restricted to the
+  query's partition (the ``label`` column serves as the IVF cell id);
+  exact rerank inside the cell.  At 100 TB the cross join becomes
+  cell-local: |Q| x |cell| instead of |Q| x N.
+* ``lsh_ann_topk`` -- random-hyperplane LSH: 8 deterministic
+  pseudo-hyperplanes (seeded), sign pattern = bucket key, exact rerank
+  within bucket.  Hyperplane components are literals, so the same
+  buckets are SQL-derivable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+N_QUERIES = 10  # vec_id < N_QUERIES are the query vectors
+TOP_K = 5
+N_HYPERPLANES = 8
+EMB_DIM = 64
+
+
+def _hyperplanes(seed=7, n=N_HYPERPLANES, dim=EMB_DIM):
+    """Deterministic pseudo-random hyperplanes in [-1, 1] via a tiny
+    LCG -- reproducible in SQL as literals, no numpy dependency."""
+    planes = []
+    state = seed
+    for _ in range(n):
+        row = []
+        for _ in range(dim):
+            state = (state * 1103515245 + 12345) % (2 ** 31)
+            row.append(round(state / (2 ** 31) * 2 - 1, 6))
+        planes.append(row)
+    return planes
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def _load(spark, sf_dir):
+    """Load embeddings, excluding zero-norm vectors (cosine undefined;
+    they WILL occur in a web-scale corpus and would divide-by-zero
+    under ANSI mode)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        "label",
+    )
+    return emb.filter(_dot(F.col("v"), F.col("v")) > 0)
+
+
+def _topk(joined, k):
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round("cosine", 6).alias("cosine"),
+            "rank",
+        )
+    )
+
+
+def brute_force_topk(spark, sf_dir, k=TOP_K, n_queries=N_QUERIES):
+    emb = _load(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    # queries are tiny -> broadcast; the corpus side streams
+    pairs = emb.crossJoin(F.broadcast(queries)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = pairs.withColumn(
+        "cosine",
+        _dot(F.col("v"), F.col("qv"))
+        / (_norm(F.col("v")) * _norm(F.col("qv"))),
+    )
+    return _topk(scored, k)
+
+
+def ivf_topk(spark, sf_dir, k=TOP_K, n_queries=N_QUERIES):
+    """ANN: search only the query's cell (label)."""
+    emb = _load(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    pairs = emb.join(
+        F.broadcast(queries),
+        (F.col("label") == F.col("qlabel"))
+        & (F.col("vec_id") != F.col("query_id")),
+    )
+    scored = pairs.withColumn(
+        "cosine",
+        _dot(F.col("v"), F.col("qv"))
+        / (_norm(F.col("v")) * _norm(F.col("qv"))),
+    )
+    return _topk(scored, k)
+
+
+def _bucket_expr(vcol):
+    """Sign pattern over the hyperplanes as a '01...' string."""
+    planes = _hyperplanes()
+    bits = []
+    for row in planes:
+        plane = F.array(*[F.lit(x).cast("double") for x in row])
+        bits.append(
+            F.when(_dot(F.col(vcol), plane) >= 0, F.lit("1")).otherwise(
+                F.lit("0")
+            )
+        )
+    return F.concat(*bits)
+
+
+def lsh_ann_topk(spark, sf_dir, k=TOP_K, n_queries=N_QUERIES):
+    """ANN via random-hyperplane buckets + exact rerank in-bucket.
+
+    The hyperplanes are EMB_DIM-dimensional; vectors of any other size
+    are not indexable and are excluded (Spark's zip_with would silently
+    null-pad, DuckDB errors -- both wrong)."""
+    emb = (
+        _load(spark, sf_dir)
+        .filter(F.size("v") == EMB_DIM)
+        .withColumn("bucket", _bucket_expr("v"))
+    )
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    pairs = emb.join(
+        F.broadcast(queries),
+        (F.col("bucket") == F.col("qbucket"))
+        & (F.col("vec_id") != F.col("query_id")),
+    )
+    scored = pairs.withColumn(
+        "cosine",
+        _dot(F.col("v"), F.col("qv"))
+        / (_norm(F.col("v")) * _norm(F.col("qv"))),
+    )
+    return _topk(scored, k)

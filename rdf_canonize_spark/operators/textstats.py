@@ -1,0 +1,118 @@
+"""Text-analysis operators: language ID, quality scoring, token
+counting, document fingerprinting.  All Catalyst-only (higher-order
+array functions + regexp), each with a DuckDB-expressible twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+# tiny deterministic stopword lists; tie order en > de > fr > es
+STOPWORDS = {
+    "en": ["the", "of", "and", "a", "to", "in", "is", "it", "that"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "nicht", "mit"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans"],
+    "es": ["el", "los", "las", "y", "es", "un", "una", "que"],
+}
+LANG_ORDER = ["en", "de", "fr", "es"]
+
+# BPE-ish token regex: word pieces, numbers, punctuation runs
+TOKEN_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+FINGERPRINT_WINDOW = 20
+
+
+def _words(col="text"):
+    return F.split(F.col(col), " ")
+
+
+def lang_id(docs):
+    """N-gram-free heuristic language ID: stopword-hit ratio per
+    language, argmax with fixed tie order.  Returns
+    (doc_id, lang_pred, en_hits, de_hits, fr_hits, es_hits, n_words).
+    """
+    words = _words()
+    exprs = [F.col("doc_id")]
+    hit_cols = {}
+    for lang in LANG_ORDER:
+        lst = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        hits = F.size(F.filter(words, lambda w: F.array_contains(lst, w)))
+        hit_cols[lang] = hits
+        exprs.append(hits.alias(f"{lang}_hits"))
+    exprs.append(F.size(words).alias("n_words"))
+    out = docs.select(*exprs)
+    best = F.lit(LANG_ORDER[-1])
+    # build argmax right-to-left so earlier langs win ties
+    for lang in reversed(LANG_ORDER[:-1]):
+        later = [F.col(f"{x}_hits") for x in
+                 LANG_ORDER[LANG_ORDER.index(lang) + 1:]]
+        cond = F.col(f"{lang}_hits") >= F.greatest(*later) if len(later) > 1 \
+            else F.col(f"{lang}_hits") >= later[0]
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+    return out.select(
+        "doc_id", best.alias("lang_pred"),
+        "en_hits", "de_hits", "fr_hits", "es_hits", "n_words",
+    )
+
+
+def quality_score(docs):
+    """Length / punctuation / stopword-ratio quality features and a
+    deterministic combined score in [0, 1]."""
+    words = _words()
+    n_chars = F.length("text")
+    n_words = F.size(words)
+    n_punct = F.size(
+        F.split(F.col("text"), r"[^a-zA-Z0-9\s]")
+    ) - 1
+    en = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    stop_ratio = (
+        F.size(F.filter(words, lambda w: F.array_contains(en, w)))
+        / F.greatest(n_words, F.lit(1))
+    )
+    mean_word_len = (
+        (n_chars - n_words + 1) / F.greatest(n_words, F.lit(1))
+    )
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
+    score = (
+        F.least(n_words / F.lit(100.0), F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * 0.3
+        + (F.lit(1.0) - F.least(punct_ratio * F.lit(10.0), F.lit(1.0)))
+        * 0.3
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        n_punct.alias("n_punct"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def token_counts(docs):
+    """Whitespace word count + BPE-ish regex token count."""
+    return docs.select(
+        "doc_id",
+        F.size(_words()).alias("n_words"),
+        F.regexp_count(F.col("text"), F.lit(TOKEN_PATTERN)).alias(
+            "n_tokens"
+        ),
+    )
+
+
+def fingerprint(docs, window=FINGERPRINT_WINDOW):
+    """Rolling-hash document fingerprint (winnowing with a whole-doc
+    window): min md5 over all char ``window``-grams, plus the full-text
+    hash.  Robust to local edits outside the minimizing window."""
+    # substring with a dynamic start index needs expr() (the Python DSL
+    # substring() takes literals only)
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length(text) - {window} + 1, 1)),"
+        f" i -> md5(substring(text, i, {window})))"
+    )
+    return docs.select(
+        "doc_id",
+        F.array_min(grams).alias("min_gram_hash"),
+        F.md5("text").alias("full_hash"),
+    )

@@ -1,0 +1,122 @@
+"""Semantic tests for the training-data operators (beyond the oracle
+equality the driver checks): do they actually find what they should?
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from rdf_canonize_spark.operators import dedup, multimodal, similarity
+from rdf_canonize_spark.operators.textstats import lang_id, token_counts
+from rdf_canonize_spark.pipeline.pages import pages_from_documents
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_dir):
+    return dedup.near_dup_corpus(spark, sf_dir).cache()
+
+
+def test_exact_dedup_finds_planted_copies(spark, corpus, sf_dir):
+    dups = dedup.exact_dedup(corpus).filter("n_copies > 1")
+    rows = {r["keeper_id"]: r["n_copies"] for r in dups.collect()}
+    # every 10th doc has an exact copy planted at +2000000
+    n_docs = corpus.filter("doc_id < 1000000").count()
+    assert len(rows) == n_docs // 10
+    assert all(k % 10 == 0 for k in rows)
+    assert all(v == 2 for v in rows.values())
+
+
+def test_jaccard_finds_planted_near_dups(corpus):
+    pairs = dedup.jaccard_pairs(corpus, threshold=0.5)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    base_ids = [
+        r["doc_id"]
+        for r in corpus.filter("doc_id < 1000000").select("doc_id").collect()
+    ]
+    # every planted near-copy (first word dropped) and exact copy must
+    # be recovered; the corpus also contains natural near-dups, fine
+    expected = {(k, k + 1000000) for k in base_ids if k % 3 == 0}
+    expected |= {(k, k + 2000000) for k in base_ids if k % 10 == 0}
+    missed = expected - got
+    assert not missed, f"missed planted pairs: {sorted(missed)[:5]}"
+
+
+def test_lsh_candidates_superset_of_high_jaccard(corpus):
+    """Any pair with near-identical signatures must share a band."""
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.jaccard_pairs(corpus, threshold=0.9).collect()
+    }
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.lsh_candidates(corpus).collect()
+    }
+    missed = exact - cand
+    # 4 bands of 4 over jaccard>=0.9: P(miss) = (1-s^4)^4 ~ small
+    assert len(missed) <= max(1, len(exact) // 10)
+
+
+def test_simhash_near_dups_close_in_hamming(corpus):
+    sh = {r["doc_id"]: r["simhash_bits"] for r in
+          dedup.simhash(corpus).collect()}
+    def ham(a, b):
+        return sum(x != y for x, y in zip(a, b))
+    near = [(k - 1000000, k) for k in sh if 1000000 <= k < 2000000]
+    assert near
+    dists = [ham(sh[a], sh[b]) for a, b in near if a in sh]
+    assert sum(dists) / len(dists) <= 3.0
+    exact_pairs = [(k - 2000000, k) for k in sh if k >= 2000000]
+    assert all(sh[a] == sh[b] for a, b in exact_pairs if a in sh)
+
+
+def test_ann_variants_defining_properties(spark, sf_dir):
+    """The driver's embeddings are random (no cluster structure), so
+    recall-vs-brute-force is not testable; assert each variant's exact
+    defining property instead."""
+    bf = similarity.brute_force_topk(spark, sf_dir).collect()
+    ivf = similarity.ivf_topk(spark, sf_dir).collect()
+    lsh = similarity.lsh_ann_topk(spark, sf_dir).collect()
+    assert len(bf) == 50  # 10 queries x top5, ranks 1..5 unique
+    for rows in (bf, ivf, lsh):
+        for r in rows:
+            assert -1.0 <= r["cosine"] <= 1.0
+            assert 1 <= r["rank"] <= 5
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "label"
+    )
+    labels = {r["vec_id"]: r["label"] for r in emb.collect()}
+    # IVF: neighbor always comes from the query's cell
+    assert all(labels[r["query_id"]] == labels[r["vec_id"]] for r in ivf)
+    # both approximations agree with brute force on shared pairs
+    bf_cos = {(r["query_id"], r["vec_id"]): r["cosine"] for r in bf}
+    for r in ivf + lsh:
+        key = (r["query_id"], r["vec_id"])
+        if key in bf_cos:
+            assert abs(bf_cos[key] - r["cosine"]) < 1e-9
+
+
+def test_lang_id_and_token_counts_sane(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    li = lang_id(docs)
+    assert li.filter(F.col("lang_pred").isin("en", "de", "fr", "es")) \
+             .count() == docs.count()
+    tc = token_counts(docs)
+    bad = tc.filter(F.col("n_tokens") < F.col("n_words")).count()
+    assert bad == 0  # regex tokens split punctuation, never fewer
+
+
+def test_media_features_deterministic_and_stubbed(spark, sf_dir):
+    pages = pages_from_documents(spark, sf_dir).limit(50)
+    media = multimodal.attach_media(pages)
+    f1 = multimodal.extract_media_features(media)
+    rows = f1.collect()
+    assert all(r["decode_status"] == "stubbed" for r in rows)
+    assert all(len(r["feature"]) == multimodal.MEDIA_FEATURE_DIM
+               for r in rows)
+    assert all(0.0 <= v <= 1.0 for r in rows for v in r["feature"])
+    # deterministic under repartitioning
+    f2 = multimodal.extract_media_features(media.repartition(7))
+    a = {r["url"]: (r["media_sha256"], tuple(r["feature"]))
+         for r in rows}
+    b = {r["url"]: (r["media_sha256"], tuple(r["feature"]))
+         for r in f2.collect()}
+    assert a == b
