@@ -96,6 +96,31 @@ def q_canonize_rdfc10(spark, sf_dir):
     )
 
 
+def q_entity_degrees(spark, sf_dir):
+    """Skew-aware two-phase salted aggregation over entity mentions."""
+    from rdf_canonize_spark.pipeline.entities import entity_degrees
+
+    return entity_degrees(_quads(spark, sf_dir))
+
+
+def q_entity_canonical_map(spark, sf_dir):
+    """Cross-document entity canonicalization dictionary."""
+    from rdf_canonize_spark.pipeline.entities import canonical_entity_map
+
+    return canonical_entity_map(_quads(spark, sf_dir))
+
+
+def q_entity_canonicalized_quads(spark, sf_dir):
+    """Quads rewritten to canonical entity IRIs (broadcast map join)."""
+    from rdf_canonize_spark.pipeline.entities import (
+        canonical_entity_map,
+        canonicalize_entities,
+    )
+
+    quads = _quads(spark, sf_dir)
+    return canonicalize_entities(quads, canonical_entity_map(quads))
+
+
 def q_lineitem_pricing_summary(spark, sf_dir):
     """TPC-H Q1-style aggregation (engine breadth: groupBy/agg)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -243,6 +268,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "relabel_quads": q_relabel,
         "canonical_document": q_canonical_document,
         "canonize_rdfc10": q_canonize_rdfc10,
+        "entity_degrees": q_entity_degrees,
+        "entity_canonical_map": q_entity_canonical_map,
+        "entity_canonicalized_quads": q_entity_canonicalized_quads,
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
         "orders_customer_join": q_orders_customer_join,
         "events_hourly": q_events_hourly,
@@ -273,6 +301,9 @@ def oracle_sql() -> dict[str, str]:
         "canonical_document": oracles.canonical_document(),
         # canonize_rdfc10: intentionally no oracle (n-degree recursion is
         # not SQL-expressible); driver records rows-only check.
+        "entity_degrees": oracles.entity_degrees(),
+        "entity_canonical_map": oracles.canonical_entity_map(),
+        "entity_canonicalized_quads": oracles.entity_canonicalized_quads(),
         "lineitem_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    SUM(l_quantity) AS sum_qty,

@@ -123,6 +123,68 @@ QUADS_CTE = f"""
 """
 
 
+_ENTITY_MENTIONS = """
+  mentions AS (
+    SELECT url, s AS entity FROM quads
+    WHERE s_kind = 0 AND s LIKE 'http://kg.example.org/entity/%'
+    UNION ALL
+    SELECT url, o AS entity FROM quads
+    WHERE o_kind = 0 AND o LIKE 'http://kg.example.org/entity/%'
+  )
+"""
+
+
+def entity_degrees():
+    return f"""WITH {QUADS_CTE}, {_ENTITY_MENTIONS}
+SELECT entity, COUNT(*) AS n_mentions, COUNT(DISTINCT url) AS n_docs
+FROM mentions GROUP BY entity"""
+
+
+def canonical_entity_map():
+    return f"""WITH {QUADS_CTE}, {_ENTITY_MENTIONS},
+ents AS (SELECT DISTINCT entity FROM mentions),
+clustered AS (
+  SELECT entity,
+         regexp_replace(entity, '_[0-9]+$', '') AS canonical_key
+  FROM ents
+),
+canon AS (
+  SELECT canonical_key, MIN(entity) AS canonical_entity
+  FROM clustered GROUP BY canonical_key
+)
+SELECT c.entity, c.canonical_key, k.canonical_entity
+FROM clustered c JOIN canon k USING (canonical_key)"""
+
+
+def entity_canonicalized_quads():
+    return f"""WITH {QUADS_CTE}, {_ENTITY_MENTIONS},
+ents AS (SELECT DISTINCT entity FROM mentions),
+clustered AS (
+  SELECT entity,
+         regexp_replace(entity, '_[0-9]+$', '') AS canonical_key
+  FROM ents
+),
+canon AS (
+  SELECT canonical_key, MIN(entity) AS canonical_entity
+  FROM clustered GROUP BY canonical_key
+),
+emap AS (
+  SELECT c.entity, k.canonical_entity
+  FROM clustered c JOIN canon k USING (canonical_key)
+)
+SELECT
+  q.url, q.s_kind,
+  CASE WHEN q.s_kind = 0 AND sm.canonical_entity IS NOT NULL
+       THEN sm.canonical_entity ELSE q.s END AS s,
+  q.p, q.o_kind,
+  CASE WHEN q.o_kind = 0 AND om.canonical_entity IS NOT NULL
+       THEN om.canonical_entity ELSE q.o END AS o,
+  q.o_datatype, q.o_lang, q.g_kind, q.g
+FROM quads q
+LEFT JOIN emap sm ON q.s = sm.entity
+LEFT JOIN emap om ON q.o = om.entity"""
+
+
 def triples():
     return f"""WITH {QUADS_CTE}
 SELECT url, s_kind, s, p, o_kind, o, o_datatype, o_lang, g_kind, g

@@ -1,0 +1,105 @@
+"""The W3C-style conformance fixtures, run through the SPARK file
+path: .nq files -> read_nquads -> canonize_documents -> compare
+byte-for-byte against the reference-generated goldens.  This is the
+test-plan item (a) of SURVEY.md section 5 at the engine level.
+"""
+
+import io
+import json
+import os
+import shutil
+
+import pytest
+
+from rdf_canonize_spark.sources.nquads_io import (
+    canonize_nquads_files,
+    parse_errors,
+    read_nquads,
+    write_canonical_nquads,
+)
+
+DIR = os.path.join(os.path.dirname(__file__), "fixtures", "rdfc10")
+
+with io.open(os.path.join(DIR, "manifest.json"), encoding="utf-8") as f:
+    MANIFEST = json.load(f)
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(tmp_path_factory):
+    """Copy fixtures into a clean dir of only -in.nq files."""
+    d = tmp_path_factory.mktemp("nq")
+    for e in MANIFEST:
+        shutil.copy(
+            os.path.join(DIR, e["name"] + "-in.nq"),
+            d / (e["name"] + "-in.nq"),
+        )
+    return str(d)
+
+
+def _goldens():
+    out = {}
+    for e in MANIFEST:
+        with io.open(
+            os.path.join(DIR, e["name"] + "-golden.json"),
+            encoding="utf-8",
+        ) as f:
+            out[e["name"]] = json.load(f)
+    return out
+
+
+def test_spark_file_path_matches_reference_goldens(spark, fixture_dir):
+    """Every fixture file canonizes through Spark to the exact golden.
+
+    maxWorkFactor here is 3 (the file source has one setting for the
+    whole directory), so only cases whose golden was produced with
+    wf>=? and succeeds at wf=3 are compared byte-for-byte; cases whose
+    golden is a budget error at a LOWER work factor may legitimately
+    succeed here and are skipped.  Negative-parse cases must land in
+    the error column with the exact message.
+    """
+    result = {
+        r["url"].rsplit("/", 1)[1][: -len("-in.nq")]: r
+        for r in canonize_nquads_files(
+            spark, fixture_dir + "/*.nq", max_work_factor=3
+        ).collect()
+    }
+    goldens = _goldens()
+    # Spark file sources skip 0-byte files: the 'empty' fixture is
+    # invisible at file level (covered by the pure-core fixture tests)
+    assert set(result) == set(goldens) - {"empty"}
+    checked = 0
+    for e in MANIFEST:
+        name = e["name"]
+        if name == "empty":
+            continue
+        g = goldens[name]
+        r = result[name]
+        if e.get("negativeParse"):
+            assert r["error"] == g["error"], name
+            continue
+        if "output" in g and g.get("maxWorkFactor", 1) <= 3:
+            assert r["nquads"] == g["output"], name
+            assert dict(r["label_map"] or {}) == g["idMap"], name
+            checked += 1
+    assert checked >= 35
+
+
+def test_parse_errors_quarantined(spark, fixture_dir):
+    parsed = read_nquads(spark, fixture_dir + "/*.nq")
+    errs = {r["url"].rsplit("/", 1)[1]: r["error"]
+            for r in parse_errors(parsed).collect()}
+    neg = {e["name"] + "-in.nq" for e in MANIFEST if e.get("negativeParse")}
+    assert set(errs) == neg
+    assert all("N-Quads parse error" in v for v in errs.values())
+
+
+def test_roundtrip_write_read(spark, fixture_dir, tmp_path):
+    out = str(tmp_path / "canon_out")
+    canonical = canonize_nquads_files(
+        spark, fixture_dir + "/chain-in.nq", max_work_factor=3
+    )
+    write_canonical_nquads(canonical, out, single_file=True)
+    txt = "\n".join(
+        r["value"] for r in spark.read.text(out).collect()
+    )
+    assert "_:c14n0 <urn:p0> _:c14n1 ." in txt
