@@ -36,6 +36,9 @@ def test_eval_and_map(entry):
     golden = json.loads(_load(name, "-golden.json"))
     input_nq = _load(name, "-in.nq")
     id_map = {}
+    kwargs = {}
+    if entry.get("digest"):
+        kwargs["message_digest_algorithm"] = entry["digest"]
     if "output" in golden:
         out = canonize(
             input_nq,
@@ -43,6 +46,7 @@ def test_eval_and_map(entry):
             input_format="application/n-quads",
             max_work_factor=entry["maxWorkFactor"],
             canonical_id_map=id_map,
+            **kwargs,
         )
         assert out == golden["output"]
         assert id_map == golden["idMap"]

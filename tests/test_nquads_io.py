@@ -70,7 +70,9 @@ def test_spark_file_path_matches_reference_goldens(spark, fixture_dir):
     checked = 0
     for e in MANIFEST:
         name = e["name"]
-        if name == "empty":
+        if name == "empty" or e.get("digest"):
+            # digest-variant goldens use sha384/512; the file source
+            # canonizes with the default sha256
             continue
         g = goldens[name]
         r = result[name]

@@ -164,6 +164,87 @@ case("poison-b-4-wf1", make_data_b(4)[1], max_work_factor=1)
 case("poison-b-3-wf0", make_data_b(3)[1], max_work_factor=0)
 case("clique-5-wf2", make_data_b(5)[1], max_work_factor=2)
 
+# --- batch 2: unicode/sort/digest/recursion stress ----------------------------
+# UTF-16 vs code-point sort divergence: astral chars (U+1D306) sort
+# BEFORE U+E000..U+FFFF in UTF-16 code units but AFTER in code points
+case(
+    "utf16-sort-stress",
+    '<http://ex/s> <http://ex/p> "' + chr(0x1D306) + 'x" .\n'
+    '<http://ex/s> <http://ex/p> "' + chr(0xE000) + 'x" .\n'
+    '<http://ex/s> <http://ex/p> "' + chr(0xFB01) + 'x" .\n'
+    '<http://ex/s> <http://ex/p> "' + chr(0x1F600) + '" .\n'
+    '<http://ex/s> <http://ex/p> "' + chr(0xFFFD) + '" .\n',
+)
+case(
+    "utf16-sort-bnode-hash",
+    # same shape: the sort feeds first-degree hashing via serialized lines
+    '_:a <http://ex/p> "' + chr(0x1D306) + '" .\n'
+    '_:a <http://ex/p> "' + chr(0xE000) + '" .\n'
+    '_:b <http://ex/p> "' + chr(0x1D306) + '" .\n'
+    '_:b <http://ex/q> "' + chr(0xE000) + '" .\n',
+    max_work_factor=3,
+)
+case(
+    "crlf-endings",
+    "<http://ex/s> <http://ex/p> <http://ex/o> .\r\n"
+    "_:b0 <http://ex/p> \"v\" .\r"
+    "<http://ex/s2> <http://ex/p> \"w\" .\n",
+)
+case(
+    "datatype-variants",
+    '<http://ex/s> <http://ex/p> "1" .\n'
+    '<http://ex/s> <http://ex/p> "1"^^<http://ex/dt1> .\n'
+    '<http://ex/s> <http://ex/p> "1"^^<http://ex/dt2> .\n'
+    '<http://ex/s> <http://ex/p> "1"@en .\n'
+    '<http://ex/s> <http://ex/p> "1"@en-GB .\n'
+    '<http://ex/s> <http://ex/p> "1"@EN .\n',
+)
+case("layered-2-2-2", make_data_c([2, 2, 2])[1], max_work_factor=3)
+case(
+    "isomorphic-components-bridge",
+    "".join(
+        f"_:x{c}_{a} <ex:p> _:x{c}_{(a + 1) % 4} .\n"
+        for c in range(2) for a in range(4)
+    )
+    + "_:x0_0 <ex:bridge> _:x1_2 .\n",
+    max_work_factor=3,
+)
+rng3 = random.Random(777)
+for i in range(30):
+    n = rng3.randint(3, 9)
+    lines = set()
+    for _ in range(rng3.randint(n, 4 * n)):
+        s = f"_:v{rng3.randrange(n)}"
+        p = f"<http://p/{rng3.randrange(4)}>"
+        r = rng3.random()
+        if r < 0.55:
+            o = f"_:v{rng3.randrange(n)}"
+        elif r < 0.7:
+            o = f'"L{rng3.randrange(3)}"'
+        elif r < 0.8:
+            o = f'"l{rng3.randrange(2)}"@{"en" if r < 0.75 else "de"}'
+        elif r < 0.9:
+            o = f'"t{rng3.randrange(2)}"^^<http://dt/{rng3.randrange(2)}>'
+        else:
+            o = f"<http://o/{rng3.randrange(3)}>"
+        g = rng3.choice(["", " <http://g/0>", " _:v1", " _:v0"])
+        lines.add(f"{s} {p} {o}{g} .\n")
+    case(f"random2-{i:02d}", "".join(sorted(lines)), max_work_factor=3)
+
+# digest algorithm variants (same input, sha384/sha512)
+DIGEST_CASES = {
+    "digest-sha384": ("chain", "sha384"),
+    "digest-sha512": ("chain", "sha512"),
+    "digest-sha384-sym": ("cycle-3", "sha384"),
+    "digest-sha512-sym": ("bipartite-2x2", "sha512"),
+}
+for name, (base, alg) in DIGEST_CASES.items():
+    CASES[name] = {
+        "data": CASES[base]["data"],
+        "maxWorkFactor": 3,
+        "digest": alg,
+    }
+
 # --- negative parse cases ------------------------------------------------------
 NEGATIVE = {
     "bad-line": "this is not nquads\n",
@@ -182,9 +263,10 @@ def main():
             os.path.join(OUT, name + "-in.nq"), "w", encoding="utf-8"
         ) as f:
             f.write(spec["data"])
-        manifest.append(
-            {"name": name, "maxWorkFactor": spec["maxWorkFactor"]}
-        )
+        entry = {"name": name, "maxWorkFactor": spec["maxWorkFactor"]}
+        if "digest" in spec:
+            entry["digest"] = spec["digest"]
+        manifest.append(entry)
     for name, data in NEGATIVE.items():
         with io.open(
             os.path.join(OUT, name + "-in.nq"), "w", encoding="utf-8"

@@ -30,12 +30,17 @@ const manifest = JSON.parse(
     } else {
       const canonicalIdMap = new Map();
       try {
-        golden.output = await canonize.canonize(input, {
+        const opts = {
           algorithm: 'RDFC-1.0',
           inputFormat: 'application/n-quads',
           maxWorkFactor: entry.maxWorkFactor,
           canonicalIdMap
-        });
+        };
+        if(entry.digest) {
+          opts.messageDigestAlgorithm = entry.digest;
+          golden.digest = entry.digest;
+        }
+        golden.output = await canonize.canonize(input, opts);
         golden.idMap = Object.fromEntries(canonicalIdMap);
         golden.maxWorkFactor = entry.maxWorkFactor;
       } catch(e) {
