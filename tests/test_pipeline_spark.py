@@ -179,3 +179,13 @@ def test_pages_from_documents(spark, sf_dir):
     assert "KG: " in row["text"]
     # html embeds the exact text (byte-identical extracted text invariant)
     assert bytes(row["html"]).decode("utf-8").find(row["text"]) >= 0
+
+
+def test_triple_agreement_pr_gate(spark, sf_dir):
+    """North-rule gate: P/R >= 0.95 between pipeline-emitted triples
+    and the independently-computed ground truth (here: exactly 1.0)."""
+    from rdf_canonize_spark.pipeline.agreement import pipeline_agreement
+
+    m = pipeline_agreement(spark, sf_dir)
+    assert m["precision"] == 1.0, m
+    assert m["recall"] == 1.0, m
