@@ -63,6 +63,11 @@ def q_first_degree_hash(spark, sf_dir):
     return relational.bnode_first_hash(_quads(spark, sf_dir))
 
 
+def q_first_degree_hash_exact(spark, sf_dir):
+    """O4 exact (with _:a/_:z substitution), relational fast path."""
+    return relational.bnode_first_degree_hash_exact(_quads(spark, sf_dir))
+
+
 def q_hash_groups(spark, sf_dir):
     """O5: group bnodes by hash, unique detection."""
     return relational.hash_groups(_quads(spark, sf_dir))
@@ -263,6 +268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triples_extract": q_triples_extract,
         "dedup_quads": q_dedup_quads,
         "first_degree_hash": q_first_degree_hash,
+        "first_degree_hash_exact": q_first_degree_hash_exact,
         "hash_groups": q_hash_groups,
         "issue_ids": q_issue_ids,
         "relabel_quads": q_relabel,
@@ -295,6 +301,7 @@ def oracle_sql() -> dict[str, str]:
         "triples_extract": oracles.triples(),
         "dedup_quads": oracles.dedup(),
         "first_degree_hash": oracles.first_degree_hash(),
+        "first_degree_hash_exact": oracles.first_degree_hash_exact(),
         "hash_groups": oracles.hash_groups(),
         "issue_ids": oracles.issue_ids(),
         "relabel_quads": oracles.relabel(),

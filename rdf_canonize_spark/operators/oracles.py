@@ -104,6 +104,8 @@ QUADS_CTE = f"""
       SELECT url, s AS bnode, nq_line FROM lines WHERE s_kind = 1
       UNION ALL
       SELECT url, o AS bnode, nq_line FROM lines WHERE o_kind = 1
+      UNION ALL
+      SELECT url, g AS bnode, nq_line FROM lines WHERE g_kind = 1
     )
   ),
   first_hash AS (
@@ -200,6 +202,59 @@ FROM dquads"""
 def first_degree_hash():
     return f"""WITH {QUADS_CTE}
 SELECT url, bnode, first_hash, n_lines FROM first_hash"""
+
+
+def first_degree_hash_exact():
+    """Exact O4 (with _:a/_:z substitution) in DuckDB."""
+    langstr = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+    xsd = "http://www.w3.org/2001/XMLSchema#string"
+    return f"""WITH {QUADS_CTE},
+pairs AS (
+  SELECT DISTINCT * FROM (
+    SELECT url, s AS bnode, s_kind, s, p, o_kind, o,
+           o_datatype, o_lang, g_kind, g
+    FROM dquads WHERE s_kind = 1
+    UNION ALL
+    SELECT url, o AS bnode, s_kind, s, p, o_kind, o,
+           o_datatype, o_lang, g_kind, g
+    FROM dquads WHERE o_kind = 1
+    UNION ALL
+    SELECT url, g AS bnode, s_kind, s, p, o_kind, o,
+           o_datatype, o_lang, g_kind, g
+    FROM dquads WHERE g_kind = 1
+  )
+),
+fd AS (
+  SELECT url, bnode,
+    (CASE WHEN s_kind = 0 THEN '<' || s || '>'
+          ELSE '_:' || (CASE WHEN s = bnode THEN 'a' ELSE 'z' END) END)
+    || ' <' || p || '> '
+    || (CASE
+          WHEN o_kind = 0 THEN '<' || o || '>'
+          WHEN o_kind = 1
+            THEN '_:' || (CASE WHEN o = bnode THEN 'a' ELSE 'z' END)
+          ELSE '"' || o || '"' ||
+            (CASE
+               WHEN o_lang IS NOT NULL THEN '@' || o_lang
+               WHEN o_datatype IS NOT NULL
+                 AND o_datatype <> '{xsd}'
+                 AND o_datatype <> '{langstr}'
+                 THEN chr(94) || chr(94) || '<' || o_datatype || '>'
+               ELSE ''
+             END)
+        END)
+    || (CASE
+          WHEN g_kind = 0 THEN ' <' || g || '>'
+          WHEN g_kind = 1
+            THEN ' _:' || (CASE WHEN g = bnode THEN 'a' ELSE 'z' END)
+          ELSE ''
+        END)
+    || ' .' || chr(10) AS fd_line
+  FROM pairs
+)
+SELECT url, bnode,
+  sha256(string_agg(fd_line, '' ORDER BY fd_line)) AS first_degree_hash
+FROM fd GROUP BY url, bnode"""
 
 
 def hash_groups():

@@ -89,8 +89,11 @@ def bnode_first_hash(quads_df):
     obj = lines.filter(F.col("o_kind") == BLANK).select(
         "url", F.col("o").alias("bnode"), "nq_line"
     )
+    gph = lines.filter(F.col("g_kind") == BLANK).select(
+        "url", F.col("g").alias("bnode"), "nq_line"
+    )
     return (
-        sub.unionAll(obj)
+        sub.unionAll(obj).unionAll(gph)
         .distinct()
         .groupBy("url", "bnode")
         .agg(
@@ -99,6 +102,93 @@ def bnode_first_hash(quads_df):
                 256,
             ).alias("first_hash"),
             F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def bnode_first_degree_hash_exact(quads_df):
+    """O4 EXACT in pure SQL: the real hash-first-degree-quads.
+
+    Per (url, bnode): serialize each incident quad with the reference
+    bnode replaced by ``_:a`` and every other bnode by ``_:z``
+    (spec-bug semantics, lib/RDFC10Sync.js:414-428), sort the lines,
+    SHA-256 the concatenation (each line keeps its trailing newline; no
+    separator -- matching the incremental md.update framing).
+
+    Valid whenever values need no N-Quads escaping and contain no
+    astral characters (UTF-8 sort == UTF-16 sort then); on a web corpus
+    that is the overwhelming majority -- this is the relational fast
+    path for the unique-hash case, with the Arrow kernel as the
+    general fallback.  Byte-parity with the Python kernel is asserted
+    in tests.
+    """
+    q = dedup_quads(quads_df)
+    sub = q.filter(F.col("s_kind") == BLANK).select(
+        "url", F.col("s").alias("bnode"), *q.columns[1:]
+    )
+    obj = q.filter(F.col("o_kind") == BLANK).select(
+        "url", F.col("o").alias("bnode"), *q.columns[1:]
+    )
+    gph = q.filter(F.col("g_kind") == BLANK).select(
+        "url", F.col("g").alias("bnode"), *q.columns[1:]
+    )
+    pairs = sub.unionByName(obj).unionByName(gph).distinct()
+
+    def subst(kind_col, val_col):
+        return F.when(
+            F.col(kind_col) == BLANK,
+            F.when(F.col(val_col) == F.col("bnode"), F.lit("a"))
+            .otherwise(F.lit("z")),
+        ).otherwise(F.col(val_col))
+
+    s_term = F.when(
+        F.col("s_kind") == NAMED,
+        F.concat(F.lit("<"), F.col("s"), F.lit(">")),
+    ).otherwise(F.concat(F.lit("_:"), subst("s_kind", "s")))
+    o_term = (
+        F.when(F.col("o_kind") == NAMED,
+               F.concat(F.lit("<"), F.col("o"), F.lit(">")))
+        .when(F.col("o_kind") == BLANK,
+              F.concat(F.lit("_:"), subst("o_kind", "o")))
+        .otherwise(
+            F.concat(
+                F.lit('"'), F.col("o"), F.lit('"'),
+                F.when(F.col("o_lang").isNotNull(),
+                       F.concat(F.lit("@"), F.col("o_lang")))
+                .otherwise(
+                    F.when(
+                        F.col("o_datatype").isNotNull()
+                        & (F.col("o_datatype")
+                           != "http://www.w3.org/2001/XMLSchema#string")
+                        & (F.col("o_datatype")
+                           != "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"),
+                        F.concat(F.lit("^^<"), F.col("o_datatype"),
+                                 F.lit(">")),
+                    ).otherwise(F.lit(""))
+                ),
+            )
+        )
+    )
+    # graph term: DefaultGraph adds nothing in this pipeline's quads
+    g_term = F.when(
+        F.col("g_kind") == NAMED,
+        F.concat(F.lit(" <"), F.col("g"), F.lit(">")),
+    ).when(
+        F.col("g_kind") == BLANK,
+        F.concat(F.lit(" _:"), subst("g_kind", "g")),
+    ).otherwise(F.lit(""))
+    line = F.concat(
+        s_term, F.lit(" <"), F.col("p"), F.lit("> "), o_term, g_term,
+        F.lit(" .\n"),
+    )
+    return (
+        pairs.withColumn("fd_line", line)
+        .groupBy("url", "bnode")
+        .agg(
+            F.sha2(
+                F.concat_ws("", F.sort_array(F.collect_list("fd_line"))),
+                256,
+            ).alias("first_degree_hash")
         )
     )
 

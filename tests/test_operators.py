@@ -120,3 +120,85 @@ def test_media_features_deterministic_and_stubbed(spark, sf_dir):
     b = {r["url"]: (r["media_sha256"], tuple(r["feature"]))
          for r in f2.collect()}
     assert a == b
+
+
+def test_sql_first_degree_hash_matches_python_kernel(spark, sf_dir):
+    """The relational O4 fast path must byte-match the Python kernel's
+    first-degree hashes for every (url, bnode) in the pipeline corpus."""
+    from rdf_canonize_spark.operators.relational import (
+        bnode_first_degree_hash_exact,
+    )
+    from rdf_canonize_spark.pipeline.canon_stage import rows_to_dataset
+    from rdf_canonize_spark.pipeline.link import build_quads, gazetteer_df
+    from rdf_canonize_spark.pipeline.pages import pages_from_documents
+    from rdf_canonize_spark.rdfc.canonize import RDFC10
+
+    quads = build_quads(
+        pages_from_documents(spark, sf_dir), gazetteer_df(spark)
+    ).cache()
+    sql_hashes = {
+        (r["url"], r["bnode"]): r["first_degree_hash"]
+        for r in bnode_first_degree_hash_exact(quads).collect()
+    }
+    assert sql_hashes, "corpus has no blank nodes?"
+
+    cols = ["s_kind", "s", "p", "o_kind", "o",
+            "o_datatype", "o_lang", "g_kind", "g"]
+    by_url = {}
+    for row in quads.collect():
+        by_url.setdefault(row["url"], []).append(
+            tuple(row[c] for c in cols)
+        )
+    py_hashes = {}
+    for url, rows in by_url.items():
+        engine = RDFC10(max_work_factor=3)
+        dataset = rows_to_dataset(rows)
+        for quad in dataset:
+            engine._add_info(quad, quad[0])
+            engine._add_info(quad, quad[2])
+            engine._add_info(quad, quad[3])
+        for bid in engine.blank_node_info:
+            py_hashes[(url, bid)] = engine.hash_first_degree_quads(bid)
+    assert sql_hashes == py_hashes
+
+
+def test_sql_first_degree_hash_graph_position_bnodes(spark):
+    """Bnodes appearing as graph names (and self-loops) must hash
+    identically through the SQL path -- the pipeline corpus has none,
+    so they are pinned here explicitly."""
+    from rdf_canonize_spark.operators.relational import (
+        bnode_first_degree_hash_exact,
+    )
+    from rdf_canonize_spark.pipeline.canon_stage import rows_to_dataset
+    from rdf_canonize_spark.rdfc.canonize import RDFC10
+
+    LANGSTR = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+    rows = [
+        ("u1", 1, "x", "http://p/1", 1, "x", None, None, 3, ""),
+        ("u1", 1, "x", "http://p/2", 1, "y", None, None, 1, "gb"),
+        ("u1", 1, "gb", "http://p/3", 2, "lit", None, None, 3, ""),
+        ("u1", 1, "y", "http://p/4", 2, "5",
+         "http://www.w3.org/2001/XMLSchema#integer", None, 0,
+         "http://g/n"),
+        ("u1", 1, "y", "http://p/5", 2, "hi", LANGSTR, "en", 3, ""),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "url string, s_kind int, s string, p string, o_kind int, "
+        "o string, o_datatype string, o_lang string, g_kind int, g string",
+    )
+    sql_h = {
+        r["bnode"]: r["first_degree_hash"]
+        for r in bnode_first_degree_hash_exact(df).collect()
+    }
+    engine = RDFC10()
+    for q in rows_to_dataset([r[1:] for r in rows]):
+        engine._add_info(q, q[0])
+        engine._add_info(q, q[2])
+        engine._add_info(q, q[3])
+    py_h = {
+        b: engine.hash_first_degree_quads(b)
+        for b in engine.blank_node_info
+    }
+    assert set(py_h) == {"x", "y", "gb"}
+    assert sql_h == py_h
