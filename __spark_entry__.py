@@ -166,6 +166,73 @@ def q_orders_customer_join(spark, sf_dir):
     )
 
 
+def q_orders_rollup(spark, sf_dir):
+    """Hierarchical aggregate (ROLLUP) over orders."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+def q_customer_set_ops(spark, sf_dir):
+    """Set operations: customers with orders INTERSECT high-balance,
+    EXCEPT low-nation -- one row per op tag."""
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    with_orders = customer.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")).distinct(),
+        "c_custkey",
+    ).select("c_custkey")
+    high_bal = customer.filter(F.col("c_acctbal") > 5000).select(
+        "c_custkey"
+    )
+    inter = with_orders.intersect(high_bal).withColumn(
+        "op", F.lit("with_orders_and_high_balance")
+    )
+    exc = high_bal.exceptAll(with_orders).withColumn(
+        "op", F.lit("high_balance_without_orders")
+    )
+    return inter.unionByName(exc)
+
+
+def q_top_parts_by_size(spark, sf_dir):
+    """Top-3 parts per size by retail price (window top-k)."""
+    from pyspark.sql import Window
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    w = Window.partitionBy("p_size").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey").asc()
+    )
+    return (
+        part.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("p_size", "p_partkey", "p_retailprice", "rank")
+    )
+
+
+def q_customers_without_orders(spark, sf_dir):
+    """Anti-join: customers with no finished ('F') orders."""
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return customer.join(
+        orders.filter(F.col("o_orderstatus") == "F").select(
+            F.col("o_custkey").alias("c_custkey")
+        ),
+        "c_custkey",
+        "left_anti",
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
 def q_events_hourly(spark, sf_dir):
     """Time-bucketed aggregation over the events table."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -279,6 +346,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_canonicalized_quads": q_entity_canonicalized_quads,
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
         "orders_customer_join": q_orders_customer_join,
+        "orders_rollup": q_orders_rollup,
+        "customer_set_ops": q_customer_set_ops,
+        "top_parts_by_size": q_top_parts_by_size,
+        "customers_without_orders": q_customers_without_orders,
         "events_hourly": q_events_hourly,
     }
 
@@ -330,6 +401,46 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name
+        """,
+        "orders_rollup": """
+            SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+                   COALESCE(o_orderpriority, 'ALL') AS priority,
+                   COUNT(*) AS n_orders,
+                   SUM(o_totalprice) AS total_price
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "customer_set_ops": """
+            WITH with_orders AS (
+              SELECT DISTINCT c_custkey FROM customer
+              JOIN orders ON o_custkey = c_custkey
+            ),
+            high_bal AS (
+              SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+            )
+            SELECT c_custkey, 'with_orders_and_high_balance' AS op
+            FROM (SELECT * FROM with_orders INTERSECT
+                  SELECT * FROM high_bal)
+            UNION ALL
+            SELECT c_custkey, 'high_balance_without_orders' AS op
+            FROM (SELECT * FROM high_bal EXCEPT ALL
+                  SELECT * FROM with_orders)
+        """,
+        "top_parts_by_size": """
+            SELECT p_size, p_partkey, p_retailprice, rank FROM (
+              SELECT p_size, p_partkey, p_retailprice,
+                CAST(ROW_NUMBER() OVER (
+                  PARTITION BY p_size
+                  ORDER BY p_retailprice DESC, p_partkey ASC
+                ) AS INT) AS rank
+              FROM part
+            ) WHERE rank <= 3
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name, c_acctbal FROM customer
+            WHERE c_custkey NOT IN (
+              SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+            )
         """,
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour,

@@ -32,6 +32,45 @@ def stream_pages(spark, in_dir, schema=None):
     )
 
 
+def start_crawl_rate_stream(spark, in_dir, out_dir, window="10 minutes",
+                            watermark="30 minutes"):
+    """Watermarked windowed aggregation over the crawl stream:
+    pages-per-(window, lang) with late-data tolerance.
+
+    ``warc_ts`` is the event time; rows later than the watermark past
+    the max seen event time are dropped from their window (standard
+    late-data semantics).  Append mode: a window emits once final.
+    """
+    from pyspark.sql import functions as F
+
+    pages = stream_pages(spark, in_dir)
+    agg = (
+        pages.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum(F.length("text")).alias("n_chars"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "lang",
+            "n_pages",
+            "n_chars",
+        )
+    )
+    return (
+        agg.writeStream.format("parquet")
+        .option("path", os.path.join(out_dir, "crawl_rate"))
+        .option(
+            "checkpointLocation", os.path.join(out_dir, "_rate_checkpoint")
+        )
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def start_canonize_stream(spark, in_dir, out_dir, max_work_factor=3):
     """pages stream -> canonical N-Quads parquet, exactly-once."""
     from ..pipeline.canon_stage import canonize_documents

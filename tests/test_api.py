@@ -232,3 +232,20 @@ def test_generalized_rdf_serialization():
     assert serialize(ds) == (
         '<http://ex/s> _:p2 <http://ex/o> .\n_:s _:p "v" _:g .\n'
     )
+
+
+def test_canonize_timeout():
+    """Wall-clock timeout, checked every 3 permutations
+    (lib/RDFC10Sync.js:20,30-33,309-311); exact error text."""
+    from rdf_canonize_spark.rdfc.canonize import CanonizeTimeoutError
+    from rdf_canonize_spark.rdfc.graphs import make_data_b
+
+    _, data = make_data_b(7)
+    with pytest.raises(CanonizeTimeoutError, match="Canonize timeout."):
+        canonize(
+            data,
+            algorithm="RDFC-1.0",
+            input_format="application/n-quads",
+            max_work_factor=float("inf"),
+            timeout=50,  # ms
+        )

@@ -54,3 +54,36 @@ def test_streaming_canonize_exactly_once(spark, tmp_path):
     assert spark.read.parquet(
         f"{out_dir}/canonical_nquads_stream"
     ).count() == 40
+
+
+def test_streaming_watermark_windowed_agg(spark, tmp_path):
+    """Watermarked window agg over the crawl stream: on-time windows
+    finalize; a second batch of strictly-later events closes earlier
+    windows (append mode emits only finalized windows)."""
+    from rdf_canonize_spark.streaming.ingest import start_crawl_rate_stream
+
+    in_dir = str(tmp_path / "pages_in")
+    out_dir = str(tmp_path / "rate_out")
+    # pages 0..99: warc_ts = epoch + k sec -> all within ~2 windows
+    synthesize_pages(spark, 100).write.parquet(in_dir)
+    q = start_crawl_rate_stream(spark, in_dir, out_dir,
+                                window="1 minute", watermark="1 minute")
+    q.awaitTermination(timeout=300)
+    # batch 2: pages far in the future advance the watermark,
+    # finalizing the first batch's windows
+    far = synthesize_pages(spark, 50000).filter("k >= 49000")
+    far.write.mode("append").parquet(in_dir)
+    q2 = start_crawl_rate_stream(spark, in_dir, out_dir,
+                                 window="1 minute", watermark="1 minute")
+    q2.awaitTermination(timeout=300)
+    got = spark.read.parquet(f"{out_dir}/crawl_rate")
+    rows = got.collect()
+    assert rows, "no finalized windows"
+    # the first 100 pages span warc_ts epoch..epoch+99s = 2 windows,
+    # each split by 4 langs -> 8 finalized groups summing to 100 pages
+    early = [r for r in rows
+             if r["window_start"].year == 2026 and r["window_start"].month == 1
+             and r["window_start"].day == 1 and r["window_start"].hour == 0
+             and r["window_start"].minute <= 1]
+    assert sum(r["n_pages"] for r in early) == 100
+    assert {r["lang"] for r in early} == {"en", "de", "fr", "es"}
