@@ -59,6 +59,9 @@ def run_headline(spark, sf_dir):
         "orders_customer_join",
         "events_hourly",
     ]
+    # warm the session (JVM JIT, Python workers, FS metadata) so the
+    # first measured query isn't charged the cold-start cost
+    force(qs["dedup_quads"](spark, sf_dir))
     timings = {}
     for name in names:
         fn = qs[name]

@@ -127,7 +127,7 @@ def make_canonize_fn(max_work_factor=3):
     return canonize_group
 
 
-def _canonize_rows_for_url(url, rows, max_work_factor):
+def _canonize_rows_for_url(url, rows, max_work_factor, doc_timeout_ms=0):
     dataset = rows_to_dataset(rows)
     n_bnodes = len(
         {
@@ -138,7 +138,11 @@ def _canonize_rows_for_url(url, rows, max_work_factor):
         }
     )
     id_map = {}
-    engine = RDFC10(canonical_id_map=id_map, max_work_factor=max_work_factor)
+    engine = RDFC10(
+        canonical_id_map=id_map,
+        max_work_factor=max_work_factor,
+        timeout=doc_timeout_ms,
+    )
     try:
         nquads = engine.main(dataset)
         error = None
@@ -221,7 +225,7 @@ def make_canonize_map_fn(max_work_factor=3):
     return canonize_partition
 
 
-def make_canonize_arrow_fn(max_work_factor=3):
+def make_canonize_arrow_fn(max_work_factor=3, doc_timeout_ms=0):
     """``mapInArrow`` kernel: pyarrow batches in and out, no pandas.
 
     Same contract as the pandas kernel (url-sorted partitions, urls not
@@ -264,7 +268,9 @@ def make_canonize_arrow_fn(max_work_factor=3):
         return pa.RecordBatch.from_arrays(arrays, schema=out_type)
 
     def canonize_doc(url, rows):
-        r = _canonize_rows_for_url(url, rows, max_work_factor)
+        r = _canonize_rows_for_url(
+            url, rows, max_work_factor, doc_timeout_ms
+        )
         return (
             r["url"], r["nquads"], r["label_map"], r["n_quads"],
             r["n_bnodes"], r["deep_iterations"], r["quads_hash"],
@@ -278,17 +284,23 @@ def make_canonize_arrow_fn(max_work_factor=3):
             urls = batch.column(0).to_pylist()
             if not urls:
                 continue
-            col_vals = [
-                batch.column(i).to_pylist()
-                for i in range(1, batch.num_columns)
-            ]
+            # C-speed row materialization: zip of column lists builds
+            # all row tuples without a per-cell Python loop
+            rows = list(
+                zip(
+                    *(
+                        batch.column(i).to_pylist()
+                        for i in range(1, batch.num_columns)
+                    )
+                )
+            )
             results = []
-            for i, u in enumerate(urls):
+            for u, row in zip(urls, rows):
                 if u != cur_url:
                     if cur_url is not None:
                         results.append(canonize_doc(cur_url, cur_rows))
                     cur_url, cur_rows = u, []
-                cur_rows.append(tuple(v[i] for v in col_vals))
+                cur_rows.append(row)
             if results:
                 yield flush(results)
         if cur_url is not None:
@@ -298,7 +310,11 @@ def make_canonize_arrow_fn(max_work_factor=3):
 
 
 def canonize_documents(
-    quads_df, max_work_factor=3, num_partitions=None, strategy="colocated"
+    quads_df,
+    max_work_factor=3,
+    num_partitions=None,
+    strategy="colocated",
+    doc_timeout_ms=0,
 ):
     """quads -> canonical_nquads(url, nquads, label_map, ...).
 
@@ -339,5 +355,6 @@ def canonize_documents(
             make_canonize_map_fn(max_work_factor), CANONICAL_SCHEMA
         )
     return df.mapInArrow(
-        make_canonize_arrow_fn(max_work_factor), CANONICAL_SCHEMA
+        make_canonize_arrow_fn(max_work_factor, doc_timeout_ms),
+        CANONICAL_SCHEMA,
     )

@@ -189,3 +189,36 @@ def test_triple_agreement_pr_gate(spark, sf_dir):
     m = pipeline_agreement(spark, sf_dir)
     assert m["precision"] == 1.0, m
     assert m["recall"] == 1.0, m
+
+
+def test_doc_timeout_quarantines_stragglers(spark):
+    """A pathological document with an unbounded work factor must hit
+    the per-document wall-clock timeout and quarantine, not stall the
+    executor."""
+    from rdf_canonize_spark.rdfc.graphs import make_data_b
+
+    _, poison = make_data_b(7)
+    rows = []
+    for line in poison.strip().split("\n"):
+        s, p, o, _ = line.split(" ")
+        rows.append(
+            ("poison://doc", 1, s[2:], p[1:-1], 1, o[2:],
+             None, None, 3, ""))
+    rows.append(("ok://doc", 0, "http://s", "http://p", 2, "v",
+                 None, None, 3, ""))
+    df = spark.createDataFrame(
+        rows,
+        "url string, s_kind int, s string, p string, o_kind int, "
+        "o string, o_datatype string, o_lang string, g_kind int, g string",
+    )
+    got = {
+        r["url"]: r
+        for r in canonize_documents(
+            df, max_work_factor=float("inf"),
+            strategy="repartition", doc_timeout_ms=100,
+        ).collect()
+    }
+    assert got["poison://doc"]["error"] == "Canonize timeout."
+    assert got["poison://doc"]["nquads"] is None
+    assert got["ok://doc"]["error"] is None
+    assert got["ok://doc"]["nquads"].startswith("<http://s>")

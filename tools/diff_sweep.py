@@ -21,12 +21,13 @@ const c = require('/root/reference/lib/index.js');
 let data = '';
 process.stdin.on('data', d => data += d);
 process.stdin.on('end', async () => {
-  const cases = JSON.parse(data);
+  const payload = JSON.parse(data);
   const out = [];
-  for (const nq of cases) {
+  for (const nq of payload.cases) {
     try {
       out.push({ok: await c.canonize(nq, {algorithm: 'RDFC-1.0',
-        inputFormat: 'application/n-quads', maxWorkFactor: 3})});
+        inputFormat: 'application/n-quads',
+        maxWorkFactor: payload.wf})});
     } catch (e) {
       out.push({err: e.message});
     }
@@ -68,13 +69,28 @@ def gen_case(rng):
     return "".join(out)
 
 
+def gen_dense_case(rng):
+    """Denser symmetric graphs: at maxWorkFactor=1 many of these hit
+    the deep-iteration budget -- exercises error-path parity (exact
+    budget arithmetic + message)."""
+    n = rng.randint(3, 6)
+    lines = set()
+    for a in range(n):
+        for b in range(n):
+            if rng.random() < 0.8:
+                lines.add(f"_:v{a} <http://p/0> _:v{b} .\n")
+    return "".join(sorted(lines))
+
+
 def main():
     from rdf_canonize_spark.rdfc import canonize
 
     n_cases = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 20260816
+    wf = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     rng = random.Random(seed)
-    cases = [gen_case(rng) for _ in range(n_cases)]
+    gen = gen_dense_case if wf <= 1 else gen_case
+    cases = [gen(rng) for _ in range(n_cases)]
 
     mismatches = 0
     errors_both = 0
@@ -84,7 +100,7 @@ def main():
         ref = json.loads(
             subprocess.run(
                 ["node", "-e", NODE_RUNNER],
-                input=json.dumps(batch).encode(),
+                input=json.dumps({"wf": wf, "cases": batch}).encode(),
                 capture_output=True,
                 check=True,
             ).stdout
@@ -94,7 +110,7 @@ def main():
                 got = {"ok": canonize(
                     nq, algorithm="RDFC-1.0",
                     input_format="application/n-quads",
-                    max_work_factor=3)}
+                    max_work_factor=wf)}
             except Exception as e:
                 got = {"err": str(e)}
             if got != r:
@@ -107,7 +123,7 @@ def main():
             if "err" in r:
                 errors_both += 1
     print(json.dumps({
-        "cases": n_cases, "seed": seed,
+        "cases": n_cases, "seed": seed, "work_factor": wf,
         "mismatches": mismatches,
         "reference_errors": errors_both,
     }))
