@@ -233,6 +233,53 @@ def q_customers_without_orders(spark, sf_dir):
     ).select("c_custkey", "c_name", "c_acctbal")
 
 
+def q_events_sessions(spark, sf_dir):
+    """Sessionization: lag + cumulative-sum session ids per user
+    (30-minute inactivity gap), then per-session aggregates."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(
+        F.lag("ts").over(w)
+    )
+    with_session = (
+        ev.withColumn(
+            "new_session",
+            F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+        )
+        .withColumn(
+            "session_idx",
+            F.sum("new_session").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    return with_session.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.round(F.sum("value"), 4).alias("session_value"),
+    )
+
+
+def q_events_json_props(spark, sf_dir):
+    """Scalar JSON extraction over the props column."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+        .groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
 def q_events_hourly(spark, sf_dir):
     """Time-bucketed aggregation over the events table."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -350,6 +397,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_set_ops": q_customer_set_ops,
         "top_parts_by_size": q_top_parts_by_size,
         "customers_without_orders": q_customers_without_orders,
+        "events_sessions": q_events_sessions,
+        "events_json_props": q_events_json_props,
         "events_hourly": q_events_hourly,
     }
 
@@ -441,6 +490,40 @@ def oracle_sql() -> dict[str, str]:
             WHERE c_custkey NOT IN (
               SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
             )
+        """,
+        "events_sessions": """
+            WITH gaps AS (
+              SELECT user_id, event_id, ts, value,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                     THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            sess AS (
+              SELECT *, SUM(new_session) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING
+              ) AS session_idx
+              FROM gaps
+            )
+            SELECT user_id, session_idx,
+                   COUNT(*) AS n_events,
+                   MIN(ts) AS session_start,
+                   MAX(ts) AS session_end,
+                   ROUND(SUM(value), 4) AS session_value
+            FROM sess GROUP BY user_id, session_idx
+        """,
+        "events_json_props": """
+            SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10
+                     AS k_mod,
+                   COUNT(*) AS n,
+                   MIN(CAST(json_extract_string(props, '$.k') AS INT))
+                     AS min_k,
+                   MAX(CAST(json_extract_string(props, '$.k') AS INT))
+                     AS max_k
+            FROM events
+            GROUP BY CAST(json_extract_string(props, '$.k') AS INT) % 10
         """,
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour,
