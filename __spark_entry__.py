@@ -18,12 +18,14 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from rdf_canonize_spark.functions import vectors
 from rdf_canonize_spark.operators import (
     dedup,
     oracle_ops,
     oracles,
     relational,
     similarity,
+    temporal,
     textstats,
 )
 from rdf_canonize_spark.pipeline.canon_stage import canonize_documents
@@ -295,6 +297,102 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+def q_events_asof_orders(spark, sf_dir):
+    """As-of join: each event annotated with the user's most recent
+    order at or before the event time (custom temporal operator —
+    union + single-window carry-forward, no range explosion)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return temporal.asof_last_order(ev, orders)
+
+
+def q_events_close_pairs(spark, sf_dir):
+    """Band (range) self-join: event pairs by the same user within
+    60 s, bucket-equi-join implementation (never a cross product)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return temporal.close_event_pairs(ev, window_seconds=60)
+
+
+def q_lineitem_quantiles(spark, sf_dir):
+    """Exact percentiles (linear interpolation) per return flag."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.expr("percentile(l_extendedprice, 0.25)"), 6
+        ).alias("p25"),
+        F.round(
+            F.expr("percentile(l_extendedprice, 0.50)"), 6
+        ).alias("p50"),
+        F.round(
+            F.expr("percentile(l_extendedprice, 0.75)"), 6
+        ).alias("p75"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot(spark, sf_dir):
+    """Pivot: event counts per user bucket x event type.  Explicit
+    value list so the pivot needs no extra distinct-values pass."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy((F.col("user_id") % 10).alias("user_mod"))
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_mod",
+            *[F.coalesce(F.col(t), F.lit(0)).alias(t)
+              for t in EVENT_TYPES],
+        )
+    )
+
+
+def q_orders_cube(spark, sf_dir):
+    """CUBE over (status, priority) — all grouping-set combinations."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+def q_customers_above_nation_avg(spark, sf_dir):
+    """Correlated-subquery analogue: customers above their nation's
+    average balance, via a partition window (one shuffle, no
+    self-join)."""
+    from pyspark.sql import Window
+
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    w = Window.partitionBy("c_nationkey")
+    return (
+        customer.withColumn("nation_avg", F.avg("c_acctbal").over(w))
+        .filter(F.col("c_acctbal") > F.col("nation_avg"))
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.round("c_acctbal", 6).alias("acctbal"),
+            F.round("nation_avg", 6).alias("nation_avg"),
+        )
+    )
+
+
+def q_embedding_norms(spark, sf_dir):
+    """Catalyst-only vector math over array<float> embeddings."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return vectors.embedding_norms(emb)
+
+
 # --- training-data operators -----------------------------------------------------
 def _docs(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -400,6 +498,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "events_json_props": q_events_json_props,
         "events_hourly": q_events_hourly,
+        "events_asof_orders": q_events_asof_orders,
+        "events_close_pairs": q_events_close_pairs,
+        "lineitem_quantiles": q_lineitem_quantiles,
+        "events_pivot": q_events_pivot,
+        "orders_cube": q_orders_cube,
+        "customers_above_nation_avg": q_customers_above_nation_avg,
+        "embedding_norms": q_embedding_norms,
     }
 
 
@@ -532,5 +637,76 @@ def oracle_sql() -> dict[str, str]:
                    SUM(value) AS sum_value
             FROM events
             GROUP BY date_trunc('hour', ts), event_type
+        """,
+        "events_asof_orders": """
+            WITH best AS (
+              SELECT o_custkey, o_orderdate,
+                     MAX(o_totalprice) AS ord_price
+              FROM orders GROUP BY o_custkey, o_orderdate
+            )
+            SELECT e.event_id, e.user_id,
+                   b.o_orderdate AS last_order_date,
+                   ROUND(b.ord_price, 6) AS last_order_price
+            FROM events e ASOF LEFT JOIN best b
+              ON e.user_id = b.o_custkey AND e.ts >= b.o_orderdate
+        """,
+        "events_close_pairs": """
+            SELECT a.user_id,
+                   a.event_id AS event_a,
+                   b.event_id AS event_b,
+                   CAST(floor(epoch(b.ts)) - floor(epoch(a.ts)) AS BIGINT)
+                     AS dt_seconds
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND a.event_id < b.event_id
+             AND abs(floor(epoch(a.ts)) - floor(epoch(b.ts))) <= 60
+        """,
+        "lineitem_quantiles": """
+            SELECT l_returnflag,
+                   ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+                   ROUND(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+                   ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+                   COUNT(*) AS n
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "events_pivot": """
+            SELECT user_id % 10 AS user_mod,
+                   COUNT(*) FILTER (WHERE event_type = 'click')
+                     AS click,
+                   COUNT(*) FILTER (WHERE event_type = 'error')
+                     AS error,
+                   COUNT(*) FILTER (WHERE event_type = 'purchase')
+                     AS purchase,
+                   COUNT(*) FILTER (WHERE event_type = 'signup')
+                     AS signup,
+                   COUNT(*) FILTER (WHERE event_type = 'view')
+                     AS view
+            FROM events GROUP BY user_id % 10
+        """,
+        "orders_cube": """
+            SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+                   COALESCE(o_orderpriority, 'ALL') AS priority,
+                   COUNT(*) AS n_orders,
+                   SUM(o_totalprice) AS total_price
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "customers_above_nation_avg": """
+            SELECT c_custkey, c_nationkey,
+                   ROUND(c_acctbal, 6) AS acctbal,
+                   ROUND((SELECT AVG(c2.c_acctbal) FROM customer c2
+                          WHERE c2.c_nationkey = c.c_nationkey), 6)
+                     AS nation_avg
+            FROM customer c
+            WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                               WHERE c2.c_nationkey = c.c_nationkey)
+        """,
+        "embedding_norms": """
+            SELECT vec_id, label,
+                   len(embedding) AS dim,
+                   ROUND(sqrt(list_sum(list_transform(
+                     CAST(embedding AS DOUBLE[]), x -> x * x))), 6)
+                     AS l2_norm
+            FROM embeddings
         """,
     }

@@ -95,3 +95,112 @@ def start_canonize_stream(spark, in_dir, out_dir, max_work_factor=3):
         .trigger(availableNow=True)
         .start()
     )
+
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, "
+    "event_type string, value double, props string"
+)
+
+
+def start_session_stream(spark, in_dir, out_dir, gap_seconds=1800,
+                         watermark="1 hour"):
+    """Custom stateful streaming operator: user sessionization via
+    ``applyInPandasWithState`` (arbitrary per-key state + event-time
+    timeout) -- the streaming twin of the batch ``events_sessions``
+    query (lag + running sum).
+
+    A session closes two ways:
+
+    * a later event for the same user arrives more than ``gap_seconds``
+      after the session's end -> the old session is emitted in that
+      micro-batch (in-data gap);
+    * no event arrives and the watermark passes
+      ``session_end + gap_seconds`` -> the state times out
+      (``EventTimeTimeout``) and the session is emitted then.
+
+    Late events within the watermark still extend their session; later
+    than the watermark they are dropped before the operator (standard
+    late-data semantics).  State per key is four scalars, so state-store
+    size is O(active users), not O(events) -- the property that makes
+    this viable on an unbounded crawl/clickstream.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    events = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(in_dir)
+        .withWatermark("ts", watermark)
+    )
+
+    out_type = (
+        "user_id long, session_start timestamp, session_end timestamp, "
+        "n_events long, session_value double"
+    )
+    state_type = "start_s double, end_s double, n long, v double"
+
+    def sessionize(key, pdf_iter, state):
+        user = key[0]
+        closed = []
+        if state.hasTimedOut:
+            closed.append(tuple(state.get))
+            state.remove()
+        else:
+            cur = tuple(state.get) if state.exists else None
+            parts = [pdf[["ts", "value"]] for pdf in pdf_iter]
+            if parts:
+                ev = pd.concat(parts).sort_values("ts")
+                for ts, val in zip(ev["ts"], ev["value"]):
+                    t = ts.timestamp()
+                    if cur is None:
+                        cur = (t, t, 1, float(val))
+                    elif t - cur[1] > gap_seconds:
+                        closed.append(cur)
+                        cur = (t, t, 1, float(val))
+                    else:
+                        cur = (
+                            cur[0],
+                            max(cur[1], t),
+                            cur[2] + 1,
+                            cur[3] + float(val),
+                        )
+            if cur is not None:
+                state.update(cur)
+                state.setTimeoutTimestamp(
+                    int((cur[1] + gap_seconds) * 1000)
+                )
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user] * len(closed),
+                    "session_start": [
+                        pd.Timestamp(c[0], unit="s") for c in closed
+                    ],
+                    "session_end": [
+                        pd.Timestamp(c[1], unit="s") for c in closed
+                    ],
+                    "n_events": [c[2] for c in closed],
+                    "session_value": [round(c[3], 6) for c in closed],
+                }
+            )
+
+    sessions = events.groupBy("user_id").applyInPandasWithState(
+        sessionize,
+        out_type,
+        state_type,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+    return (
+        sessions.writeStream.format("parquet")
+        .option("path", os.path.join(out_dir, "sessions"))
+        .option(
+            "checkpointLocation",
+            os.path.join(out_dir, "_sessions_checkpoint"),
+        )
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -33,6 +33,30 @@ def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir):
     assert schemas and all("l_shipdate" not in s for s in schemas)
 
 
+def test_temporal_join_plan_shapes(spark, sf_dir):
+    """The temporal operators must never degenerate to a per-key cross
+    product: as-of is union + one window (key-partitioned exchanges
+    only); the band join stays an equi-join (hash/broadcast), never
+    BroadcastNestedLoopJoin/CartesianProduct."""
+    from rdf_canonize_spark.operators import temporal
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+    asof = temporal.asof_last_order(ev, orders)
+    p = checks.executed_plan(asof)
+    assert "Join" not in p, "as-of must be window-based, not a join"
+    assert p.count("Window") >= 1
+    # shuffles: one for the orders (key, ts) pre-agg, one on the key
+    assert checks.count_shuffles(asof) <= 2, p
+
+    band = temporal.close_event_pairs(ev, window_seconds=60)
+    bp = checks.executed_plan(band)
+    assert "BroadcastNestedLoopJoin" not in bp
+    assert "CartesianProduct" not in bp
+    assert "HashJoin" in bp or "SortMergeJoin" in bp, bp
+
+
 def test_streaming_canonize_exactly_once(spark, tmp_path):
     from rdf_canonize_spark.streaming.ingest import start_canonize_stream
 

@@ -1,0 +1,163 @@
+"""Semantic tests: temporal joins, vector functions, and the stateful
+streaming sessionizer (applyInPandasWithState)."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+T0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+
+def _ts(sec):
+    return T0 + dt.timedelta(seconds=sec)
+
+
+EV_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, "
+    "event_type string, value double, props string"
+)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(i, _ts(s), u, t, v, "{}") for (i, s, u, t, v) in rows],
+        EV_SCHEMA,
+    )
+
+
+def test_asof_join_semantics(spark):
+    from rdf_canonize_spark.operators.temporal import asof_last_order
+
+    events = _events(
+        spark,
+        [
+            (1, 10, 1, "click", 1.0),
+            (2, 20, 1, "view", 1.0),
+            (3, 5, 2, "click", 1.0),
+        ],
+    )
+    orders = spark.createDataFrame(
+        [
+            (100, 1, "O", 100.0, _ts(10), "1-URGENT"),
+            (101, 1, "O", 200.0, _ts(15), "1-URGENT"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, "
+        "o_orderpriority string",
+    )
+    got = {
+        r["event_id"]: (r["last_order_date"], r["last_order_price"])
+        for r in asof_last_order(events, orders).collect()
+    }
+    # inclusive at equal timestamps; most-recent-at-or-before wins
+    assert got[1] == (_ts(10), 100.0)
+    assert got[2] == (_ts(15), 200.0)
+    # no order for user 2 -> nulls survive the left join
+    assert got[3] == (None, None)
+
+
+def test_close_event_pairs_exact_and_duplicate_free(spark):
+    from rdf_canonize_spark.operators.temporal import close_event_pairs
+
+    # 30->70 crosses a 60 s bucket boundary (bucket 0 vs 1): exercises
+    # the offset explode; 0->70 is out of band.
+    events = _events(
+        spark,
+        [
+            (1, 0, 1, "click", 1.0),
+            (2, 30, 1, "click", 1.0),
+            (3, 70, 1, "click", 1.0),
+            (4, 200, 1, "click", 1.0),
+            (5, 10, 2, "click", 1.0),
+        ],
+    )
+    rows = close_event_pairs(events, window_seconds=60).collect()
+    got = {(r["event_a"], r["event_b"]): r["dt_seconds"] for r in rows}
+    assert got == {(1, 2): 30, (2, 3): 40}
+    assert len(rows) == len(got), "bucket join produced duplicates"
+
+
+def test_vector_functions(spark):
+    from rdf_canonize_spark.functions import vectors
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0], 0), (2, [0.0, 0.0], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    norms = {
+        r["vec_id"]: (r["dim"], r["l2_norm"])
+        for r in vectors.embedding_norms(df).collect()
+    }
+    assert norms == {1: (2, 5.0), 2: (2, 0.0)}
+    pair = df.select(
+        vectors.cosine(
+            vectors.as_double(F.array(F.lit(1.0), F.lit(0.0))),
+            vectors.as_double(F.array(F.lit(0.0), F.lit(1.0))),
+        ).alias("c")
+    ).first()
+    assert pair["c"] == 0.0
+    zero = df.filter("vec_id = 2").select(
+        vectors.cosine(
+            vectors.as_double("embedding"), vectors.as_double("embedding")
+        ).alias("c")
+    ).first()
+    assert zero["c"] is None  # null-safe zero-vector guard
+
+
+def test_streaming_stateful_sessionization(spark, tmp_path):
+    """applyInPandasWithState sessionizer: in-batch gap closes a
+    session immediately; watermark passage times out idle sessions."""
+    from rdf_canonize_spark.streaming.ingest import start_session_stream
+
+    in_dir = str(tmp_path / "events_in")
+    out_dir = str(tmp_path / "sessions_out")
+    gap, wm = 600, "10 minutes"
+
+    # batch 1: user 1 has two events then a >gap jump (closes in-batch);
+    # user 2 one event (stays open)
+    _events(
+        spark,
+        [
+            (1, 0, 1, "click", 1.0),
+            (2, 60, 1, "view", 2.0),
+            (3, 1200, 1, "click", 4.0),
+            (4, 30, 2, "view", 8.0),
+        ],
+    ).coalesce(1).write.parquet(in_dir)
+    q = start_session_stream(spark, in_dir, out_dir,
+                             gap_seconds=gap, watermark=wm)
+    q.awaitTermination(timeout=300)
+    rows = spark.read.parquet(f"{out_dir}/sessions").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["user_id"], r["n_events"], r["session_value"]) == (1, 2, 3.0)
+    assert r["session_start"] == _ts(0) and r["session_end"] == _ts(60)
+
+    # batch 2 advances max event time to t0+4000 (watermark t0+3400
+    # after it); batch 3 triggers timeout evaluation at that watermark.
+    _events(spark, [(5, 4000, 3, "click", 1.0)]).coalesce(1) \
+        .write.mode("append").parquet(in_dir)
+    q2 = start_session_stream(spark, in_dir, out_dir,
+                              gap_seconds=gap, watermark=wm)
+    q2.awaitTermination(timeout=300)
+    _events(spark, [(6, 4100, 3, "click", 1.0)]).coalesce(1) \
+        .write.mode("append").parquet(in_dir)
+    q3 = start_session_stream(spark, in_dir, out_dir,
+                              gap_seconds=gap, watermark=wm)
+    q3.awaitTermination(timeout=300)
+
+    rows = spark.read.parquet(f"{out_dir}/sessions").collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    # user 1: the gap session plus the timed-out tail session
+    assert sorted(
+        (r["session_start"], r["session_end"], r["n_events"])
+        for r in by_user[1]
+    ) == [(_ts(0), _ts(60), 2), (_ts(1200), _ts(1200), 1)]
+    # user 2: timed out
+    assert [(r["session_start"], r["n_events"]) for r in by_user[2]] == [
+        (_ts(30), 1)
+    ]
+    # user 3: still open (events 4000/4100 within gap of each other)
+    assert 3 not in by_user
