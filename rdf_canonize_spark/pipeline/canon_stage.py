@@ -127,7 +127,27 @@ def make_canonize_fn(max_work_factor=3):
     return canonize_group
 
 
-def _canonize_rows_for_url(url, rows, max_work_factor, doc_timeout_ms=0):
+OVERSIZED_PREFIX = "Document exceeds maximum quad count"
+
+
+def _canonize_rows_for_url(url, rows, max_work_factor, doc_timeout_ms=0,
+                           max_doc_quads=0):
+    if max_doc_quads and len(rows) > max_doc_quads:
+        # Mega-document routing (SCALE.md): bound per-task memory by
+        # refusing documents above the cap BEFORE materializing any
+        # per-document state; ``requeue_oversized`` re-derives their
+        # quads for a dedicated high-memory job.  Row count is
+        # pre-dedup -- the cap is a memory bound, not a semantic one.
+        return {
+            "url": url,
+            "nquads": None,
+            "label_map": None,
+            "n_quads": len(rows),
+            "n_bnodes": None,
+            "deep_iterations": 0,
+            "quads_hash": None,
+            "error": f"{OVERSIZED_PREFIX} ({len(rows)} > {max_doc_quads})",
+        }
     dataset = rows_to_dataset(rows)
     n_bnodes = len(
         {
@@ -167,7 +187,7 @@ _COLS = ["s_kind", "s", "p", "o_kind", "o",
          "o_datatype", "o_lang", "g_kind", "g"]
 
 
-def make_canonize_map_fn(max_work_factor=3):
+def make_canonize_map_fn(max_work_factor=3, max_doc_quads=0):
     """``mapInPandas`` kernel: many documents per Arrow batch.
 
     Requires rows sorted by url within each partition and each url
@@ -196,14 +216,17 @@ def make_canonize_map_fn(max_work_factor=3):
                     if cur_url is not None:
                         out.append(
                             _canonize_rows_for_url(
-                                cur_url, cur_rows, max_work_factor
+                                cur_url, cur_rows, max_work_factor,
+                                max_doc_quads=max_doc_quads,
                             )
                         )
                     cur_url, cur_rows = u, []
                 cur_rows.append(tuple(v[i] for v in col_vals))
             if cur_url is not None:
                 out.append(
-                    _canonize_rows_for_url(cur_url, cur_rows, max_work_factor)
+                    _canonize_rows_for_url(cur_url, cur_rows,
+                                           max_work_factor,
+                                           max_doc_quads=max_doc_quads)
                 )
             return pd.DataFrame(out)
 
@@ -225,7 +248,8 @@ def make_canonize_map_fn(max_work_factor=3):
     return canonize_partition
 
 
-def make_canonize_arrow_fn(max_work_factor=3, doc_timeout_ms=0):
+def make_canonize_arrow_fn(max_work_factor=3, doc_timeout_ms=0,
+                           max_doc_quads=0):
     """``mapInArrow`` kernel: pyarrow batches in and out, no pandas.
 
     Same contract as the pandas kernel (url-sorted partitions, urls not
@@ -269,7 +293,7 @@ def make_canonize_arrow_fn(max_work_factor=3, doc_timeout_ms=0):
 
     def canonize_doc(url, rows):
         r = _canonize_rows_for_url(
-            url, rows, max_work_factor, doc_timeout_ms
+            url, rows, max_work_factor, doc_timeout_ms, max_doc_quads
         )
         return (
             r["url"], r["nquads"], r["label_map"], r["n_quads"],
@@ -315,6 +339,7 @@ def canonize_documents(
     num_partitions=None,
     strategy="colocated",
     doc_timeout_ms=0,
+    max_doc_quads=0,
 ):
     """quads -> canonical_nquads(url, nquads, label_map, ...).
 
@@ -352,9 +377,33 @@ def canonize_documents(
     df = df.select("url", *_COLS).sortWithinPartitions("url")
     if strategy == "colocated_pandas":
         return df.mapInPandas(
-            make_canonize_map_fn(max_work_factor), CANONICAL_SCHEMA
+            make_canonize_map_fn(max_work_factor, max_doc_quads),
+            CANONICAL_SCHEMA,
         )
     return df.mapInArrow(
-        make_canonize_arrow_fn(max_work_factor, doc_timeout_ms),
+        make_canonize_arrow_fn(max_work_factor, doc_timeout_ms,
+                               max_doc_quads),
         CANONICAL_SCHEMA,
     )
+
+
+def split_canonical(canonical_df):
+    """(ok, quarantined) split of the canonize output on the error
+    column -- ok rows feed materialization, quarantined rows feed the
+    lineage/metrics tables and the rerun queues."""
+    return (
+        canonical_df.filter(F.col("error").isNull()),
+        canonical_df.filter(F.col("error").isNotNull()),
+    )
+
+
+def requeue_oversized(quads_df, canonical_df):
+    """Quads of documents quarantined as oversized, for the dedicated
+    high-memory rerun (SCALE.md mega-document routing): the follow-up
+    job calls ``canonize_documents`` on this output with a larger (or
+    no) cap on bigger executors.  Broadcast left-semi join -- the
+    oversized url set is tiny by construction."""
+    urls = canonical_df.filter(
+        F.col("error").startswith(OVERSIZED_PREFIX)
+    ).select("url")
+    return quads_df.join(F.broadcast(urls), "url", "left_semi")

@@ -222,3 +222,48 @@ def test_doc_timeout_quarantines_stragglers(spark):
     assert got["poison://doc"]["nquads"] is None
     assert got["ok://doc"]["error"] is None
     assert got["ok://doc"]["nquads"].startswith("<http://s>")
+
+
+def test_mega_document_routing(spark, pages):
+    """max_doc_quads quarantines oversized documents cheaply;
+    requeue_oversized re-derives exactly their quads, and the
+    high-memory rerun on that subset matches the uncapped run."""
+    from rdf_canonize_spark.pipeline.canon_stage import (
+        requeue_oversized,
+        split_canonical,
+    )
+    from rdf_canonize_spark.pipeline.link import build_quads, gazetteer_df
+
+    quads = build_quads(pages, gazetteer_df(spark)).cache()
+    uncapped = {
+        r["url"]: r["quads_hash"]
+        for r in canonize_documents(quads, max_work_factor=3).collect()
+    }
+    sizes = {
+        r["url"]: r["n"]
+        for r in quads.groupBy("url").agg(F.count("*").alias("n")).collect()
+    }
+    cap = sorted(sizes.values())[len(sizes) // 2]  # median -> both sides
+    capped = canonize_documents(
+        quads, max_work_factor=3, max_doc_quads=cap
+    ).cache()
+    ok, quarantined = split_canonical(capped)
+    ok_urls = {r["url"] for r in ok.select("url").collect()}
+    bad = {r["url"]: r for r in quarantined.collect()}
+    assert set(bad) == {u for u, n in sizes.items() if n > cap}
+    assert ok_urls == {u for u, n in sizes.items() if n <= cap}
+    for u, r in bad.items():
+        assert r["error"].startswith("Document exceeds maximum quad count")
+        assert r["n_quads"] == sizes[u] and r["nquads"] is None
+    # small docs unaffected by the cap
+    for r in ok.collect():
+        assert r["quads_hash"] == uncapped[r["url"]]
+    # rerun path: requeued quads canonize to the uncapped result
+    requeued = requeue_oversized(quads, capped)
+    rerun = {
+        r["url"]: r["quads_hash"]
+        for r in canonize_documents(requeued, max_work_factor=3).collect()
+    }
+    assert rerun == {u: uncapped[u] for u in bad}
+    quads.unpersist()
+    capped.unpersist()
