@@ -393,6 +393,23 @@ def q_embedding_norms(spark, sf_dir):
     return vectors.embedding_norms(emb)
 
 
+def q_entity_sharded_link(spark, sf_dir):
+    """Dictionary join for above-broadcast-limit dimensions: gazetteer
+    hash-sharded, each shard broadcast in turn — the fact side is
+    never shuffled (SCALE.md scale path for 10^9-entry dictionaries).
+    Result equals the plain left join."""
+    from rdf_canonize_spark.operators import joins
+    from rdf_canonize_spark.pipeline.extract import extract_mentions
+
+    pages = pages_from_documents(spark, sf_dir)
+    mentions = extract_mentions(pages).select(
+        "url", F.col("s_surface").alias("surface")
+    ).distinct()
+    return joins.sharded_broadcast_join(
+        mentions, gazetteer_df(spark), "surface", n_shards=4, how="left"
+    )
+
+
 # --- training-data operators -----------------------------------------------------
 def _docs(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -505,6 +522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_cube": q_orders_cube,
         "customers_above_nation_avg": q_customers_above_nation_avg,
         "embedding_norms": q_embedding_norms,
+        "entity_sharded_link": q_entity_sharded_link,
     }
 
 
@@ -709,4 +727,5 @@ def oracle_sql() -> dict[str, str]:
                      AS l2_norm
             FROM embeddings
         """,
+        "entity_sharded_link": oracles.sharded_link(),
     }

@@ -327,3 +327,13 @@ SELECT url,
   string_agg(nq_line, chr(10) ORDER BY nq_line) AS doc_nquads,
   COUNT(*) AS n_lines
 FROM rlines GROUP BY url"""
+
+
+def sharded_link():
+    """Oracle for the sharded-broadcast dictionary join: sharding is an
+    execution strategy, so the oracle is the plain left join over the
+    mention CTE."""
+    return f"""WITH {QUADS_CTE}
+    SELECT DISTINCT m.url, m.s_surface AS surface, g.iri
+    FROM mention m LEFT JOIN gaz g ON m.s_surface = g.surface
+    """

@@ -202,3 +202,30 @@ def test_sql_first_degree_hash_graph_position_bnodes(spark):
     }
     assert set(py_h) == {"x", "y", "gb"}
     assert sql_h == py_h
+
+
+def test_sharded_broadcast_join_equals_plain_join(spark):
+    """Sharded dictionary join == plain join, including null keys and
+    unmatched rows on the left path; and the fact side is never
+    shuffled (zero shuffle exchanges in the whole plan)."""
+    from rdf_canonize_spark.operators.joins import sharded_broadcast_join
+    from rdf_canonize_spark.plans import checks
+
+    fact = spark.createDataFrame(
+        [(i, f"k{i % 37}" if i % 11 else None) for i in range(500)],
+        "row_id int, surface string",
+    )
+    dim = spark.createDataFrame(
+        [(f"k{i}", f"iri:{i}") for i in range(0, 37, 2)],
+        "surface string, iri string",
+    )
+    key = lambda r: tuple(map(str, r))
+    for how in ("left", "inner"):
+        got = sharded_broadcast_join(fact, dim, "surface", 5, how)
+        want = fact.join(dim, "surface", how)
+        assert sorted(map(key, got.collect())) == \
+            sorted(map(key, want.collect()))
+    checks.assert_no_shuffle(
+        sharded_broadcast_join(fact, dim, "surface", 5, "left"),
+        "sharded broadcast join",
+    )
