@@ -82,26 +82,32 @@ def bnode_first_hash(quads_df):
     (url, bnode) -> sort_array(collect_list) -> sha2.  Map-side partial
     aggregation applies to collect_list; the sort is per-group.
     """
-    lines = serialize_line(dedup_quads(quads_df))
-    sub = lines.filter(F.col("s_kind") == BLANK).select(
-        "url", F.col("s").alias("bnode"), "nq_line"
-    )
-    obj = lines.filter(F.col("o_kind") == BLANK).select(
-        "url", F.col("o").alias("bnode"), "nq_line"
-    )
-    gph = lines.filter(F.col("g_kind") == BLANK).select(
-        "url", F.col("g").alias("bnode"), "nq_line"
+    lines = serialize_line(quads_df)
+    # Single-shuffle shape: serialize each quad once, explode the row's
+    # distinct bnode set, aggregate with collect_set.  Set semantics
+    # absorb BOTH the quad-level dedup (O2) and the cross-position line
+    # dedup, so the only exchange is the (url, bnode) groupBy (with
+    # map-side partial aggregation).  The 3-branch union + two
+    # distincts alternative costs three shuffles and three scans.
+    cands = F.array_distinct(
+        F.filter(
+            F.array(
+                F.when(F.col("s_kind") == BLANK, F.col("s")),
+                F.when(F.col("o_kind") == BLANK, F.col("o")),
+                F.when(F.col("g_kind") == BLANK, F.col("g")),
+            ),
+            lambda x: x.isNotNull(),
+        )
     )
     return (
-        sub.unionAll(obj).unionAll(gph)
-        .distinct()
+        lines.select("url", "nq_line", F.explode(cands).alias("bnode"))
         .groupBy("url", "bnode")
         .agg(
             F.sha2(
-                F.concat_ws("\n", F.sort_array(F.collect_list("nq_line"))),
+                F.concat_ws("\n", F.sort_array(F.collect_set("nq_line"))),
                 256,
             ).alias("first_hash"),
-            F.count(F.lit(1)).alias("n_lines"),
+            F.size(F.collect_set("nq_line")).alias("n_lines"),
         )
     )
 
@@ -123,16 +129,23 @@ def bnode_first_degree_hash_exact(quads_df):
     in tests.
     """
     q = dedup_quads(quads_df)
-    sub = q.filter(F.col("s_kind") == BLANK).select(
-        "url", F.col("s").alias("bnode"), *q.columns[1:]
+    # One scan, one extra shuffle total (the dedup): explode each
+    # deduped quad over its distinct bnode set.  Unlike the simplified
+    # variant, duplicate *serialized* lines from different quads must
+    # be kept (the reference hashes per-quad, and distinct quads can
+    # serialize identically after _:a/_:z substitution), so dedup
+    # happens at quad level, not line level.
+    cands = F.array_distinct(
+        F.filter(
+            F.array(
+                F.when(F.col("s_kind") == BLANK, F.col("s")),
+                F.when(F.col("o_kind") == BLANK, F.col("o")),
+                F.when(F.col("g_kind") == BLANK, F.col("g")),
+            ),
+            lambda x: x.isNotNull(),
+        )
     )
-    obj = q.filter(F.col("o_kind") == BLANK).select(
-        "url", F.col("o").alias("bnode"), *q.columns[1:]
-    )
-    gph = q.filter(F.col("g_kind") == BLANK).select(
-        "url", F.col("g").alias("bnode"), *q.columns[1:]
-    )
-    pairs = sub.unionByName(obj).unionByName(gph).distinct()
+    pairs = q.select("*", F.explode(cands).alias("bnode"))
 
     def subst(kind_col, val_col):
         return F.when(
