@@ -58,6 +58,8 @@ def run_headline(spark, sf_dir):
         "lineitem_pricing_summary",
         "orders_customer_join",
         "events_hourly",
+        "events_asof_orders",
+        "entity_sharded_link",
     ]
     # warm the session (JVM JIT, Python workers, FS metadata) so the
     # first measured query isn't charged the cold-start cost
