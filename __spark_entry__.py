@@ -393,6 +393,25 @@ def q_embedding_norms(spark, sf_dir):
     return vectors.embedding_norms(emb)
 
 
+def q_entity_components(spark, sf_dir):
+    """Connected components of the entity co-statement graph
+    (iterative hash-min label propagation; one shuffle per round,
+    lineage truncated per round).  Oracle: DuckDB recursive CTE."""
+    from rdf_canonize_spark.operators.graph import connected_components
+
+    ent = "http://kg.example.org/entity/"
+    quads = _quads(spark, sf_dir)
+    edges = (
+        quads.filter(
+            (F.col("s_kind") == 0) & (F.col("o_kind") == 0)
+            & F.col("s").startswith(ent) & F.col("o").startswith(ent)
+        )
+        .select(F.col("s").alias("src"), F.col("o").alias("dst"))
+        .distinct()
+    )
+    return connected_components(edges)
+
+
 def q_entity_sharded_link(spark, sf_dir):
     """Dictionary join for above-broadcast-limit dimensions: gazetteer
     hash-sharded, each shard broadcast in turn — the fact side is
@@ -523,6 +542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_above_nation_avg": q_customers_above_nation_avg,
         "embedding_norms": q_embedding_norms,
         "entity_sharded_link": q_entity_sharded_link,
+        "entity_components": q_entity_components,
     }
 
 
@@ -728,4 +748,5 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
         """,
         "entity_sharded_link": oracles.sharded_link(),
+        "entity_components": oracles.entity_components(),
     }

@@ -1,0 +1,68 @@
+"""Iterative graph algorithms over the entity graph.
+
+Connected components via hash-min label propagation: every node starts
+labeled with itself; each round every node takes the min label in its
+closed neighborhood; converged when no label changes.  Rounds needed =
+graph diameter (co-mention graphs are small-world, so typically <10).
+
+Scale notes (the 100 TB contract):
+
+* each round is one shuffle (groupBy dst) over the edge list -- no
+  driver-side adjacency, no collect;
+* ``localCheckpoint`` every round truncates the lineage, otherwise the
+  plan doubles per iteration and the DAG scheduler, not the data,
+  becomes the bottleneck;
+* convergence check is a single count of changed labels (cheap agg);
+* for power-law graphs at extreme scale the large-star/small-star
+  variant (Kiveris et al., "Connected Components in MapReduce") halves
+  round count; plain hash-min is kept here because entity graphs
+  converge in single-digit rounds and each round is one shuffle either
+  way.
+
+The driver-contract query ``entity_components`` oracle-checks this
+against a DuckDB recursive CTE (transitive closure + MIN) -- exact
+equality, since min-label is order-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def connected_components(edges_df, src="src", dst="dst", max_iter=25):
+    """(node, component) for the undirected graph of ``edges_df``;
+    component = min node id (lexicographic for strings) in the
+    component.  Isolated endpoints appear with themselves as component.
+    """
+    spark = edges_df.sparkSession
+    e = edges_df.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct().localCheckpoint()
+
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # min label over the closed neighborhood: neighbor labels
+        # (join on the edge) unioned with own label
+        neighbor_min = (
+            und.join(labels, und["a"] == labels["node"])
+            .select(F.col("b").alias("node"), "label")
+            .unionByName(labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("new_label"))
+        )
+        merged = labels.join(neighbor_min, "node").localCheckpoint()
+        changed = merged.filter(
+            F.col("label") != F.col("new_label")
+        ).count()
+        labels = merged.select(
+            "node", F.col("new_label").alias("label")
+        ).localCheckpoint()
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))

@@ -337,3 +337,28 @@ def sharded_link():
     SELECT DISTINCT m.url, m.s_surface AS surface, g.iri
     FROM mention m LEFT JOIN gaz g ON m.s_surface = g.surface
     """
+
+
+def entity_components():
+    """Oracle for connected components: recursive CTE transitive
+    closure + MIN -- exact equality with hash-min label propagation
+    because min-label is order-independent."""
+    return f"""WITH RECURSIVE {QUADS_CTE},
+    ent_edges AS (
+      SELECT DISTINCT s AS src, o AS dst FROM quads
+      WHERE s_kind = 0 AND o_kind = 0
+        AND s LIKE 'http://kg.example.org/entity/%'
+        AND o LIKE 'http://kg.example.org/entity/%'
+    ),
+    und AS (
+      SELECT src AS a, dst AS b FROM ent_edges
+      UNION
+      SELECT dst AS a, src AS b FROM ent_edges
+    ),
+    reach(a, b) AS (
+      SELECT a, a FROM und
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    )
+    SELECT a AS node, MIN(b) AS component FROM reach GROUP BY a
+    """

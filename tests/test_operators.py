@@ -229,3 +229,24 @@ def test_sharded_broadcast_join_equals_plain_join(spark):
         sharded_broadcast_join(fact, dim, "surface", 5, "left"),
         "sharded broadcast join",
     )
+
+
+def test_connected_components_planted(spark):
+    """Hash-min CC on planted components, including a long chain that
+    needs many propagation rounds and a self-loop singleton."""
+    from rdf_canonize_spark.operators.graph import connected_components
+
+    chain = [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(11)]
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "a"), ("d", "e"), ("f", "f")]
+        + chain,
+        "src string, dst string",
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    want = {"a": "a", "b": "a", "c": "a", "x": "a", "d": "d", "e": "d",
+            "f": "f"}
+    want.update({f"n{i:02d}": "n00" for i in range(12)})
+    assert got == want
