@@ -393,6 +393,55 @@ def q_embedding_norms(spark, sf_dir):
     return vectors.embedding_norms(emb)
 
 
+def q_events_user_rolling(spark, sf_dir):
+    """RANGE-frame window: per-user rolling 1-hour sum of value
+    (time-based frame, not row-based -- ties share the frame)."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    epoch = F.unix_timestamp("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch)
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 6).alias("rolling_value_1h"),
+    )
+
+
+def q_text_word_udtf(spark, sf_dir):
+    """Python UDTF surface (Spark 4): table function exploding text
+    into (word_idx, word) rows via a SQL LATERAL join."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word_idx int, word string")
+    class SplitWords:
+        def eval(self, text):
+            if text:
+                for i, w in enumerate(text.split(" ")):
+                    yield i, w
+
+    spark.udtf.register("split_words", SplitWords)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.filter(F.col("doc_id") % 25 == 0).createOrReplaceTempView(
+        "docs_sample"
+    )
+    return spark.sql(
+        "SELECT d.doc_id, s.word_idx, s.word "
+        "FROM docs_sample d, LATERAL split_words(d.text) s"
+    )
+
+
+def q_docs_geo_mean(spark, sf_dir):
+    """Grouped-agg pandas UDF surface (Arrow-batched UDAF): geometric
+    mean of document length per language."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.geo_mean_by_lang(docs)
+
+
 def q_entity_components(spark, sf_dir):
     """Connected components of the entity co-statement graph
     (iterative hash-min label propagation; one shuffle per round,
@@ -543,6 +592,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": q_embedding_norms,
         "entity_sharded_link": q_entity_sharded_link,
         "entity_components": q_entity_components,
+        "events_user_rolling": q_events_user_rolling,
+        "text_word_udtf": q_text_word_udtf,
+        "docs_geo_mean": q_docs_geo_mean,
     }
 
 
@@ -749,4 +801,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "entity_sharded_link": oracles.sharded_link(),
         "entity_components": oracles.entity_components(),
+        "events_user_rolling": """
+            SELECT event_id, user_id,
+                   ROUND(SUM(value) OVER (
+                     PARTITION BY user_id
+                     ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                     RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+                   ), 6) AS rolling_value_1h
+            FROM events
+        """,
+        "text_word_udtf": """
+            SELECT doc_id, CAST(idx - 1 AS INT) AS word_idx,
+                   words[idx] AS word
+            FROM (SELECT doc_id, string_split(text, ' ') AS words
+                  FROM documents WHERE doc_id % 25 = 0),
+                 LATERAL (SELECT unnest(generate_series(1, len(words)))
+                          AS idx) t
+        """,
+        "docs_geo_mean": """
+            SELECT lang,
+                   ROUND(exp(avg(ln(n_chars))), 6) AS geo_chars,
+                   COUNT(*) AS n_docs
+            FROM documents GROUP BY lang
+        """,
     }

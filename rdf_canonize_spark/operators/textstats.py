@@ -116,3 +116,32 @@ def fingerprint(docs, window=FINGERPRINT_WINDOW):
         F.array_min(grams).alias("min_gram_hash"),
         F.md5("text").alias("full_hash"),
     )
+
+
+def geo_mean_by_lang(docs_df):
+    """Grouped-agg pandas UDF surface (Arrow-batched UDAF): geometric
+    mean of document length per language.  Built lazily (pandas_udf
+    type parsing needs an active session); pandas/numpy imported at
+    call scope but annotated with real types so hint inference works.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _geo_mean(v: pd.Series) -> float:
+        return float(np.exp(np.log(v.astype("float64")).mean()))
+
+    def _n(v: pd.Series) -> int:
+        return int(len(v))
+
+    _geo_mean.__annotations__ = {"v": pd.Series, "return": float}
+    _n.__annotations__ = {"v": pd.Series, "return": int}
+    geo_mean = pandas_udf(_geo_mean, "double")
+    n_rows = pandas_udf(_n, "long")
+
+    # a grouped-agg pandas UDF cannot mix with JVM aggregates in one
+    # agg() -- both outputs go through the pandas aggregation path
+    return docs_df.groupBy("lang").agg(
+        F.round(geo_mean("n_chars"), 6).alias("geo_chars"),
+        n_rows("n_chars").alias("n_docs"),
+    )
