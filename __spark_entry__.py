@@ -442,6 +442,19 @@ def q_docs_geo_mean(spark, sf_dir):
     return textstats.geo_mean_by_lang(docs)
 
 
+def q_word_heavy_hitters(spark, sf_dir):
+    """Exact heavy hitters (SpaceSaving candidates + recount): words
+    above 2% corpus frequency.  The skew-detection primitive that
+    decides salting factors before any keyed shuffle."""
+    from rdf_canonize_spark.operators.sketches import heavy_hitters
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = docs.select(
+        F.explode(F.split("text", " ")).alias("word")
+    )
+    return heavy_hitters(words, "word", 0.02)
+
+
 def q_entity_components(spark, sf_dir):
     """Connected components of the entity co-statement graph
     (iterative hash-min label propagation; one shuffle per round,
@@ -595,6 +608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_rolling": q_events_user_rolling,
         "text_word_udtf": q_text_word_udtf,
         "docs_geo_mean": q_docs_geo_mean,
+        "word_heavy_hitters": q_word_heavy_hitters,
     }
 
 
@@ -823,5 +837,16 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(exp(avg(ln(n_chars))), 6) AS geo_chars,
                    COUNT(*) AS n_docs
             FROM documents GROUP BY lang
+        """,
+        "word_heavy_hitters": """
+            WITH words AS (
+              SELECT unnest(string_split(text, ' ')) AS word
+              FROM documents
+            ),
+            tot AS (SELECT COUNT(*) AS n FROM words)
+            SELECT word, COUNT(*) AS n_occurrences
+            FROM words, tot
+            GROUP BY word, tot.n
+            HAVING COUNT(*) > tot.n * 0.02
         """,
     }

@@ -204,3 +204,31 @@ def start_session_stream(spark, in_dir, out_dir, gap_seconds=1800,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_dedup_stream(spark, in_dir, out_dir, watermark="1 hour"):
+    """Streaming exact dedup of the event stream by event_id within
+    the watermark (``dropDuplicatesWithinWatermark``): re-delivered
+    events (at-least-once sources) are dropped as long as they arrive
+    within the watermark delay; state per key expires with the
+    watermark, so state size is bounded by the delay window, not the
+    stream length.
+    """
+    events = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(in_dir)
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    return (
+        events.writeStream.format("parquet")
+        .option("path", os.path.join(out_dir, "deduped"))
+        .option(
+            "checkpointLocation",
+            os.path.join(out_dir, "_dedup_checkpoint"),
+        )
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -250,3 +250,28 @@ def test_connected_components_planted(spark):
             "f": "f"}
     want.update({f"n{i:02d}": "n00" for i in range(12)})
     assert got == want
+
+
+def test_heavy_hitters_exact_under_eviction(spark):
+    """SpaceSaving candidate generation must stay a superset of true
+    heavy hitters even when k is far below the distinct-key count
+    (heavy eviction), so the recount result is exact."""
+    from rdf_canonize_spark.operators.sketches import heavy_hitters
+
+    # 2000 rows: 'hot' 400x, 'warm' 150x, 1450 singletons
+    rows = (
+        [("hot",)] * 400 + [("warm",)] * 150
+        + [(f"cold{i}",) for i in range(1450)]
+    )
+    df = spark.createDataFrame(rows, "key string").repartition(8)
+    got = {
+        r["key"]: r["n_occurrences"]
+        for r in heavy_hitters(df, "key", 0.05).collect()
+    }
+    assert got == {"hot": 400, "warm": 150}  # 5% of 2000 = 100
+    # tighter threshold drops 'warm'
+    got2 = {
+        r["key"]: r["n_occurrences"]
+        for r in heavy_hitters(df, "key", 0.10).collect()
+    }
+    assert got2 == {"hot": 400}

@@ -161,3 +161,31 @@ def test_streaming_stateful_sessionization(spark, tmp_path):
     ]
     # user 3: still open (events 4000/4100 within gap of each other)
     assert 3 not in by_user
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Re-delivered events are dropped within the watermark delay."""
+    from rdf_canonize_spark.streaming.ingest import start_dedup_stream
+
+    in_dir = str(tmp_path / "dedup_in")
+    out_dir = str(tmp_path / "dedup_out")
+    _events(
+        spark,
+        [(1, 0, 1, "click", 1.0), (2, 30, 1, "view", 2.0),
+         (1, 0, 1, "click", 1.0)],  # duplicate delivery of event 1
+    ).coalesce(1).write.parquet(in_dir)
+    q = start_dedup_stream(spark, in_dir, out_dir, watermark="10 minutes")
+    q.awaitTermination(timeout=300)
+    got = spark.read.parquet(f"{out_dir}/deduped")
+    assert sorted(r["event_id"] for r in got.collect()) == [1, 2]
+
+    # a second batch re-delivering event 2 (still within watermark)
+    # plus a fresh event: only the fresh one lands
+    _events(
+        spark, [(2, 30, 1, "view", 2.0), (3, 60, 1, "click", 3.0)]
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    q2 = start_dedup_stream(spark, in_dir, out_dir,
+                            watermark="10 minutes")
+    q2.awaitTermination(timeout=300)
+    got = spark.read.parquet(f"{out_dir}/deduped")
+    assert sorted(r["event_id"] for r in got.collect()) == [1, 2, 3]
