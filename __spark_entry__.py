@@ -442,6 +442,23 @@ def q_docs_geo_mean(spark, sf_dir):
     return textstats.geo_mean_by_lang(docs)
 
 
+def q_lineitem_salted_join(spark, sf_dir):
+    """Skew-safe salted equi-join (fact salted, dim replicated) when
+    neither side broadcasts and the key is hot; result equals the
+    plain join."""
+    from rdf_canonize_spark.operators import joins
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    j = joins.salted_join(li, orders, "l_orderkey", n_salts=8)
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("l_extendedprice").alias("revenue"),
+    )
+
+
 def q_word_heavy_hitters(spark, sf_dir):
     """Exact heavy hitters (SpaceSaving candidates + recount): words
     above 2% corpus frequency.  The skew-detection primitive that
@@ -609,6 +626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_word_udtf": q_text_word_udtf,
         "docs_geo_mean": q_docs_geo_mean,
         "word_heavy_hitters": q_word_heavy_hitters,
+        "lineitem_salted_join": q_lineitem_salted_join,
     }
 
 
@@ -848,5 +866,12 @@ def oracle_sql() -> dict[str, str]:
             FROM words, tot
             GROUP BY word, tot.n
             HAVING COUNT(*) > tot.n * 0.02
+        """,
+        "lineitem_salted_join": """
+            SELECT o_orderpriority,
+                   COUNT(*) AS n_items,
+                   SUM(l_extendedprice) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
         """,
     }

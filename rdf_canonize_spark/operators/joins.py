@@ -50,3 +50,29 @@ def sharded_broadcast_join(fact_df, dim_df, key, n_shards=4, how="left"):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def salted_join(fact_df, dim_df, key, n_salts=16, how="inner"):
+    """Skew-safe equi-join: fact rows get a deterministic salt in
+    [0, n_salts), the dim side is replicated n_salts times, and the
+    join key becomes (key, salt) -- a hot key's rows spread over
+    n_salts reducers instead of one.
+
+    Use when BOTH sides are too large to broadcast and the key is
+    skewed (AQE's skew-join split handles sort-merge skew only after
+    materializing oversized partitions; salting bounds them up front).
+    The salt is a hash of the whole fact row, so results are
+    deterministic under repartitioning.  Replication cost: dim rows
+    x n_salts -- size n_salts from the heavy-hitter counts
+    (operators/sketches.py), not a guess.
+    """
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in fact_df.columns]),
+        F.lit(n_salts),
+    ).cast("int")
+    f = fact_df.withColumn("__salt", salt)
+    d = dim_df.withColumn(
+        "__salt",
+        F.explode(F.array(*[F.lit(i) for i in range(n_salts)])),
+    )
+    return f.join(d, [key, "__salt"], how).drop("__salt")

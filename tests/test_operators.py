@@ -275,3 +275,52 @@ def test_heavy_hitters_exact_under_eviction(spark):
         for r in heavy_hitters(df, "key", 0.10).collect()
     }
     assert got2 == {"hot": 400}
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salted skew join == plain join on a hot-key dataset, for inner
+    and left; every fact row appears exactly once."""
+    from rdf_canonize_spark.operators.joins import salted_join
+
+    fact = spark.createDataFrame(
+        [(i, "hot" if i % 2 else f"k{i % 50}") for i in range(1000)],
+        "row_id int, key string",
+    )
+    dim = spark.createDataFrame(
+        [("hot", "H")] + [(f"k{i}", f"v{i}") for i in range(0, 50, 3)],
+        "key string, val string",
+    )
+    norm = lambda rows: sorted(tuple(map(str, r)) for r in rows)
+    for how in ("inner", "left"):
+        got = salted_join(fact, dim, "key", n_salts=7, how=how)
+        want = fact.join(dim, "key", how)
+        assert norm(got.collect()) == norm(want.collect()), how
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path, sf_dir):
+    """Bucketed tables co-located on the join key: the sort-merge join
+    runs with ZERO shuffle exchanges (the 100 TB repeated-join path --
+    pay the bucketing write once, join shuffle-free forever)."""
+    from rdf_canonize_spark.plans import checks
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+     .option("path", str(tmp_path / "li_b")).saveAsTable("t_li_b"))
+    (orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+     .option("path", str(tmp_path / "ord_b")).saveAsTable("t_ord_b"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("t_li_b").join(
+            spark.table("t_ord_b"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        ).select("l_orderkey", "l_quantity", "o_orderpriority")
+        plan = checks.executed_plan(j)
+        assert "SortMergeJoin" in plan
+        checks.assert_no_shuffle(j, "bucketed join")
+        assert j.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_li_b")
+        spark.sql("DROP TABLE IF EXISTS t_ord_b")
