@@ -235,39 +235,42 @@ def issue_canonical_ids(quads_df):
 
 
 def relabel_quads(quads_df):
-    """O11: rewrite blank-node labels to canonical ids via a join against
-    the issued-id map, co-partitioned on url."""
+    """O11: rewrite blank-node labels to canonical ids.
+
+    The issued-id table folds to ONE map per url (the groupBy reuses
+    the issue-window's url partitioning, no extra exchange) and joins
+    the quad table once on url; per-term rewriting is then a map
+    lookup.  The two-wide-joins alternative (join on (url, s) then
+    (url, o)) shuffles the quad table twice on different keys — 9
+    exchanges total vs ~4 here, and the per-url map is exactly the
+    label-map shape the canonize stage emits anyway.
+    """
     ids = issue_canonical_ids(quads_df)
+    id_map = ids.groupBy("url").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("bnode", "canonical_id"))
+        ).alias("c14n_map")
+    )
     q = dedup_quads(quads_df)
-    s_ids = ids.select(
-        "url", F.col("bnode").alias("s"),
-        F.col("canonical_id").alias("s_c14n"),
-    )
-    o_ids = ids.select(
-        "url", F.col("bnode").alias("o"),
-        F.col("canonical_id").alias("o_c14n"),
-    )
-    return (
-        q.join(s_ids, ["url", "s"], "left")
-        .join(o_ids, ["url", "o"], "left")
-        .select(
-            "url",
-            "s_kind",
-            F.when(
-                (F.col("s_kind") == BLANK) & F.col("s_c14n").isNotNull(),
-                F.col("s_c14n"),
-            ).otherwise(F.col("s")).alias("s"),
-            "p",
-            "o_kind",
-            F.when(
-                (F.col("o_kind") == BLANK) & F.col("o_c14n").isNotNull(),
-                F.col("o_c14n"),
-            ).otherwise(F.col("o")).alias("o"),
-            "o_datatype",
-            "o_lang",
-            "g_kind",
-            "g",
-        )
+    j = q.join(id_map, "url", "left")
+
+    def sub(kind_col, val_col):
+        repl = F.try_element_at(F.col("c14n_map"), F.col(val_col))
+        return F.when(
+            (F.col(kind_col) == BLANK) & repl.isNotNull(), repl
+        ).otherwise(F.col(val_col))
+
+    return j.select(
+        "url",
+        "s_kind",
+        sub("s_kind", "s").alias("s"),
+        "p",
+        "o_kind",
+        sub("o_kind", "o").alias("o"),
+        "o_datatype",
+        "o_lang",
+        "g_kind",
+        "g",
     )
 
 
