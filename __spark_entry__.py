@@ -442,6 +442,27 @@ def q_docs_geo_mean(spark, sf_dir):
     return textstats.geo_mean_by_lang(docs)
 
 
+def q_canonize_incremental(spark, sf_dir):
+    """Recrawl path: incremental canonicalization against a prior run.
+
+    Rows-only check (like canonize_rdfc10: the kernel is not
+    SQL-expressible); equality of incremental vs full recompute is
+    byte-asserted in tests/test_pipeline_spark.py.  Here the prior IS
+    the current crawl, so every row must carry forward un-recomputed.
+    """
+    from rdf_canonize_spark.pipeline.incremental import (
+        canonize_with_hash,
+        incremental_canonize,
+    )
+
+    quads = _quads(spark, sf_dir)
+    prior = canonize_with_hash(quads, max_work_factor=3)
+    inc = incremental_canonize(quads, prior, max_work_factor=3)
+    return inc.select(
+        "url", "n_quads", "quads_hash", "input_hash", "recomputed"
+    )
+
+
 def q_lineitem_salted_join(spark, sf_dir):
     """Skew-safe salted equi-join (fact salted, dim replicated) when
     neither side broadcasts and the key is hot; result equals the
@@ -627,6 +648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_geo_mean": q_docs_geo_mean,
         "word_heavy_hitters": q_word_heavy_hitters,
         "lineitem_salted_join": q_lineitem_salted_join,
+        "canonize_incremental": q_canonize_incremental,
     }
 
 

@@ -267,3 +267,50 @@ def test_mega_document_routing(spark, pages):
     assert rerun == {u: uncapped[u] for u in bad}
     quads.unpersist()
     capped.unpersist()
+
+
+def test_incremental_canonize_recomputes_only_changed(spark, pages):
+    """Recrawl path: unchanged documents carry forward byte-identically
+    with zero kernel work; changed documents recompute; the combined
+    output equals a full recanonicalization."""
+    from rdf_canonize_spark.pipeline.incremental import (
+        canonize_with_hash,
+        incremental_canonize,
+    )
+    from rdf_canonize_spark.pipeline.link import build_quads, gazetteer_df
+
+    quads1 = build_quads(pages, gazetteer_df(spark)).cache()
+    prior = canonize_with_hash(quads1, max_work_factor=3).cache()
+
+    # "recrawl": ~1/6 of documents gain one extra statement quad
+    changed = quads1.select("url").distinct().filter(
+        F.abs(F.hash("url")) % 6 == 0
+    ).cache()
+    n_changed = changed.count()
+    assert 0 < n_changed < prior.count()
+    extra = changed.select(
+        "url",
+        F.lit(0).alias("s_kind"), F.col("url").alias("s"),
+        F.lit("http://kg.example.org/rel/updated").alias("p"),
+        F.lit(2).alias("o_kind"), F.lit("yes").alias("o"),
+        F.lit(None).cast("string").alias("o_datatype"),
+        F.lit(None).cast("string").alias("o_lang"),
+        F.lit(3).alias("g_kind"), F.lit("").alias("g"),
+    )
+    quads2 = quads1.unionByName(extra.select(*quads1.columns))
+
+    inc = incremental_canonize(
+        quads2, prior, max_work_factor=3, strategy="repartition"
+    ).cache()
+    assert inc.filter("recomputed").count() == n_changed
+    assert inc.count() == prior.count()
+
+    full2 = canonize_with_hash(
+        quads2, max_work_factor=3, strategy="repartition"
+    )
+    a = {r["url"]: (r["nquads"], r["quads_hash"], r["input_hash"])
+         for r in inc.collect()}
+    b = {r["url"]: (r["nquads"], r["quads_hash"], r["input_hash"])
+         for r in full2.collect()}
+    assert a == b
+    quads1.unpersist(); prior.unpersist(); inc.unpersist()
