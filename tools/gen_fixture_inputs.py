@@ -184,6 +184,26 @@ case(
     '_:b <http://ex/q> "' + chr(0xE000) + '" .\n',
     max_work_factor=3,
 )
+# Lone surrogates: \uD800 / \uDC00 unescape to unpaired surrogates
+# (String.fromCharCode semantics); Node then hashes them through its
+# lossy UTF-8 encoding -- our core mirrors this via surrogatepass +
+# lossy replacement (SURVEY 7.3 item 2).  The bnode pair forces the
+# surrogate content through first-degree hashing and issuance order.
+case(
+    "lone-surrogate-high",
+    '_:b0 <http://p/1> "x' + chr(92) + 'uD800y" .\n'
+    "_:b0 <http://p/2> _:b1 .\n"
+    "_:b1 <http://p/2> _:b0 .\n",
+    max_work_factor=3,
+)
+case(
+    "lone-surrogate-sort",
+    '_:x <http://p/1> "a' + chr(92) + 'uDC00" .\n'
+    '_:x <http://p/1> "a' + chr(92) + 'uD800" .\n'
+    '_:y <http://p/1> "a' + chr(92) + 'U0001F600" .\n'
+    '_:y <http://p/2> "a' + chr(92) + 'uDC00" .\n',
+    max_work_factor=3,
+)
 case(
     "crlf-endings",
     "<http://ex/s> <http://ex/p> <http://ex/o> .\r\n"
