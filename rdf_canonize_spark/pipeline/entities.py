@@ -80,20 +80,29 @@ def canonical_entity_map(quads_df):
 
 
 def canonicalize_entities(quads_df, entity_map_df):
-    """Rewrite entity IRIs in s/o to their canonical representatives via
-    broadcast joins (the map is a dimension; never shuffle the quads)."""
-    m = F.broadcast(entity_map_df.select("entity", "canonical_entity"))
-    s_map = m.select(
-        F.col("entity").alias("s"),
-        F.col("canonical_entity").alias("s_canon"),
+    """Rewrite entity IRIs in s/o to their canonical representatives.
+
+    The dictionary folds to a single map row broadcast once (one
+    nested-loop join of a 1-row build side); both the s and o rewrites
+    are then map lookups.  Two broadcast hash joins would be no-shuffle
+    too, but Spark plans the dictionary subtree (itself 3 shuffles —
+    the salted aggregation) once PER join with no exchange reuse, so
+    folding halves the dictionary computation; the quads side is never
+    shuffled either way.  Valid while the dictionary fits one broadcast
+    row (~the same bound as broadcasting it at all); above that, use
+    operators/joins.py::sharded_broadcast_join per term instead.
+    """
+    one_row_map = entity_map_df.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("entity", "canonical_entity"))
+        ).alias("canon_map")
     )
-    o_map = m.select(
-        F.col("entity").alias("o"),
-        F.col("canonical_entity").alias("o_canon"),
-    )
+    j = quads_df.join(F.broadcast(one_row_map))
+    s_canon = F.try_element_at(F.col("canon_map"), F.col("s"))
+    o_canon = F.try_element_at(F.col("canon_map"), F.col("o"))
     return (
-        quads_df.join(s_map, "s", "left")
-        .join(o_map, "o", "left")
+        j.withColumn("s_canon", s_canon)
+        .withColumn("o_canon", o_canon)
         .select(
             "url",
             "s_kind",

@@ -19,6 +19,8 @@ standard flattened quad-table schema so every downstream operator
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -56,6 +58,29 @@ def _null_row(url, error=None):
     }
 
 
+# Spark/Arrow strings are UTF-8: an unpaired surrogate (legal in the
+# reference's UTF-16 JS strings, produced by \uD800-style escapes)
+# cannot cross the Arrow boundary at all.  Documents containing one
+# quarantine with a clear error instead of killing the task; the
+# pure-Python API (rdfc.canonize) handles them reference-identically
+# (pinned by the lone-surrogate-* goldens).
+_SURROGATE_RE = re.compile(
+    "[" + chr(0xD800) + "-" + chr(0xDFFF) + "]"
+)
+SURROGATE_ERROR = (
+    "Unpaired surrogate in document: not representable in Spark "
+    "string columns; canonize via the pure-Python API."
+)
+
+
+def _has_surrogate(dataset):
+    for s, p, o, g in dataset:
+        for v in (s[1], p[1], o[1], o[2], o[3], g[1]):
+            if v and _SURROGATE_RE.search(v):
+                return True
+    return False
+
+
 def _parse_batch(batches):
     for pdf in batches:
         out = []
@@ -64,6 +89,9 @@ def _parse_batch(batches):
                 dataset = nquads.parse(content)
             except nquads.NQuadsParseError as e:
                 out.append(_null_row(url, str(e)))
+                continue
+            if _has_surrogate(dataset):
+                out.append(_null_row(url, SURROGATE_ERROR))
                 continue
             if not dataset:
                 out.append(_null_row(url))

@@ -79,6 +79,12 @@ def test_spark_file_path_matches_reference_goldens(spark, fixture_dir):
         if e.get("negativeParse"):
             assert r["error"] == g["error"], name
             continue
+        if name.startswith("lone-surrogate"):
+            # unpaired surrogates cannot cross the Arrow/Spark string
+            # boundary: the file path quarantines; the pure-core path
+            # matches the reference byte-for-byte (fixture tests)
+            assert "surrogate" in (r["error"] or ""), name
+            continue
         if "output" in g and g.get("maxWorkFactor", 1) <= 3:
             assert r["nquads"] == g["output"], name
             assert dict(r["label_map"] or {}) == g["idMap"], name
@@ -91,8 +97,12 @@ def test_parse_errors_quarantined(spark, fixture_dir):
     errs = {r["url"].rsplit("/", 1)[1]: r["error"]
             for r in parse_errors(parsed).collect()}
     neg = {e["name"] + "-in.nq" for e in MANIFEST if e.get("negativeParse")}
-    assert set(errs) == neg
-    assert all("N-Quads parse error" in v for v in errs.values())
+    surro = {e["name"] + "-in.nq" for e in MANIFEST
+             if e["name"].startswith("lone-surrogate")}
+    assert set(errs) == neg | surro
+    assert all("N-Quads parse error" in v for k, v in errs.items()
+               if k in neg)
+    assert all("surrogate" in v for k, v in errs.items() if k in surro)
 
 
 def test_roundtrip_write_read(spark, fixture_dir, tmp_path):
