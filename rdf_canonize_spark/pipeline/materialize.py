@@ -143,6 +143,12 @@ def write_batch(canonical_df, out_dir, batch_id, fmt="parquet"):
     """
     spark = canonical_df.sparkSession
     data_path = os.path.join(out_dir, "canonical_nquads", f"batch={batch_id}")
+    # A fully-resumed batch has an empty todo set: overwriting here
+    # would wipe the completed batch's data while the manifest still
+    # lists its urls as done (permanent loss).  Crash-resume still
+    # overwrites partial data (todo is then non-empty).
+    if canonical_df.limit(1).count() == 0:
+        return
     canonical_df.write.mode("overwrite").format(fmt).save(data_path)
     done_urls = spark.read.format(fmt).load(data_path).select("url")
     done_urls.withColumn("batch_id", F.lit(batch_id)).write.mode(

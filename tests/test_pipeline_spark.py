@@ -170,6 +170,12 @@ def test_checkpoint_resume(spark, tmp_path):
     run_pipeline(spark, pages, max_work_factor=3, out_dir=out, batch_id=1)
     done = spark.read.parquet(f"{out}/canonical_nquads")
     assert done.select("url").distinct().count() == 30
+    # rerun of an ALREADY-COMPLETE batch id: the empty todo set must
+    # not overwrite (wipe) the finished batch's data
+    run_pipeline(spark, pages, max_work_factor=3, out_dir=out, batch_id=1)
+    done = spark.read.parquet(f"{out}/canonical_nquads")
+    assert done.select("url").distinct().count() == 30
+    assert done.count() == 30
 
 
 def test_pages_from_documents(spark, sf_dir):
