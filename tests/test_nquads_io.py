@@ -115,3 +115,42 @@ def test_roundtrip_write_read(spark, fixture_dir, tmp_path):
         r["value"] for r in spark.read.text(out).collect()
     )
     assert "_:c14n0 <urn:p0> _:c14n1 ." in txt
+
+def test_spark_file_path_randomized_vs_core(spark, tmp_path):
+    """Randomized differential: arbitrary generated graphs through the
+    SPARK file path must byte-match the pure-Python core (which is
+    itself differential-tested against the reference)."""
+    import random
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    from diff_sweep import gen_case
+
+    from rdf_canonize_spark.rdfc import canonize
+
+    rng = random.Random(20260817)
+    in_dir = tmp_path / "rand_nq"
+    in_dir.mkdir()
+    cases = {}
+    for i in range(60):
+        nq = gen_case(rng)
+        name = f"case{i:03d}"
+        (in_dir / (name + ".nq")).write_text(nq, encoding="utf-8")
+        cases[name] = nq
+    got = {
+        r["url"].rsplit("/", 1)[1][:-len(".nq")]: r
+        for r in canonize_nquads_files(
+            spark, str(in_dir) + "/*.nq", max_work_factor=3
+        ).collect()
+    }
+    # 0-byte files are invisible to Spark file sources
+    expected = {n for n, nq in cases.items() if nq}
+    assert set(got) == expected
+    for name in expected:
+        want = canonize(
+            cases[name], algorithm="RDFC-1.0",
+            input_format="application/n-quads", max_work_factor=3,
+        )
+        assert got[name]["error"] is None, name
+        assert got[name]["nquads"] == want, name
