@@ -189,3 +189,41 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     q2.awaitTermination(timeout=300)
     got = spark.read.parquet(f"{out_dir}/deduped")
     assert sorted(r["event_id"] for r in got.collect()) == [1, 2, 3]
+
+
+def test_asof_join_randomized_vs_bruteforce(spark):
+    """Randomized as-of: 400 events x 120 orders across 25 users must
+    match a per-event brute-force scan (greatest order date <= event
+    ts, max price at that date)."""
+    import random
+
+    from rdf_canonize_spark.operators.temporal import asof_last_order
+
+    rng = random.Random(77)
+    events = [(i, rng.randrange(0, 5000), rng.randrange(1, 26),
+               "click", 1.0) for i in range(400)]
+    orders = [(1000 + i, rng.randrange(1, 26), "O",
+               float(rng.randrange(1, 500)),
+               _ts(rng.randrange(0, 5000)), "P") for i in range(120)]
+    ev_df = _events(spark, events)
+    ord_df = spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, "
+        "o_orderpriority string",
+    )
+    got = {
+        r["event_id"]: (r["last_order_date"], r["last_order_price"])
+        for r in asof_last_order(ev_df, ord_df).collect()
+    }
+    for (eid, esec, euser, _, _v) in events:
+        ets = _ts(esec)
+        cands = [(ts, price) for (_, u, _, price, ts, _) in orders
+                 if u == euser and ts <= ets]
+        if not cands:
+            want = (None, None)
+        else:
+            best_date = max(ts for ts, _ in cands)
+            want = (best_date,
+                    max(p for ts, p in cands if ts == best_date))
+        assert got[eid] == want, (eid, got[eid], want)
