@@ -442,6 +442,42 @@ def q_docs_geo_mean(spark, sf_dir):
     return textstats.geo_mean_by_lang(docs)
 
 
+def q_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5-style six-table join (customer-orders-lineitem-
+    supplier-nation-region, local-supplier condition): dims broadcast,
+    the lineitem-orders join is the only large equi-join."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(customer),
+              orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(supplier),
+              li["l_suppkey"] == supplier["s_suppkey"])
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation),
+              supplier["s_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region),
+              nation["n_regionkey"] == region["r_regionkey"])
+        .filter(
+            (F.col("r_name") == "ASIA")
+            & (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01"))
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 def q_canonize_incremental(spark, sf_dir):
     """Recrawl path: incremental canonicalization against a prior run.
 
@@ -648,6 +684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_geo_mean": q_docs_geo_mean,
         "word_heavy_hitters": q_word_heavy_hitters,
         "lineitem_salted_join": q_lineitem_salted_join,
+        "local_supplier_volume": q_local_supplier_volume,
         "canonize_incremental": q_canonize_incremental,
     }
 
@@ -895,5 +932,21 @@ def oracle_sql() -> dict[str, str]:
                    SUM(l_extendedprice) AS revenue
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority
+        """,
+        "local_supplier_volume": """
+            SELECT n_name,
+                   SUM(l_extendedprice * (1 - l_discount)) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE c_nationkey = s_nationkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= '1996-01-01'
+              AND o_orderdate < '1998-01-01'
+            GROUP BY n_name
         """,
     }
