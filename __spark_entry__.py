@@ -91,15 +91,20 @@ def q_canonical_document(spark, sf_dir):
 
 
 def q_canonize_rdfc10(spark, sf_dir):
-    """O4-O10 full RDFC-1.0 via groupBy(url).applyInPandas.
+    """O4-O10 full RDFC-1.0 via the co-located Arrow kernel.
 
-    Non-SQL-expressible (n-degree recursion); rows-only driver check.
-    Byte-level correctness is gated by tests/test_canonize_fixtures.py
-    (differential vs reference goldens) and
-    tests/test_pipeline_spark.py (Spark stage vs pure-Python core).
+    The canonical serialization itself (n-degree recursion) is not
+    SQL-expressible, so the driver check is a PARTIAL oracle over the
+    kernel's SQL-expressible outputs: per-url deduped quad count,
+    distinct blank-node count, and the order-independent input content
+    hash (all computed inside the kernel, DuckDB recomputes them from
+    the quads CTE).  Byte-level nquads/label_map correctness is gated
+    by tests/test_canonize_fixtures.py (92 reference-generated goldens
+    + ~14.5k differential sweep cases) and tests/test_pipeline_spark.py
+    (Spark stage vs pure-Python core).
     """
     return canonize_documents(_quads(spark, sf_dir), max_work_factor=3).select(
-        "url", "nquads", "n_quads", "n_bnodes", "quads_hash", "error"
+        "url", "n_quads", "n_bnodes", "input_hash"
     )
 
 
@@ -481,10 +486,15 @@ def q_local_supplier_volume(spark, sf_dir):
 def q_canonize_incremental(spark, sf_dir):
     """Recrawl path: incremental canonicalization against a prior run.
 
-    Rows-only check (like canonize_rdfc10: the kernel is not
-    SQL-expressible); equality of incremental vs full recompute is
-    byte-asserted in tests/test_pipeline_spark.py.  Here the prior IS
-    the current crawl, so every row must carry forward un-recomputed.
+    PARTIAL oracle: here the prior IS the current crawl, so every row
+    must carry forward un-recomputed -- the DuckDB side recomputes
+    n_quads and input_hash from the quads CTE and asserts
+    ``recomputed = false`` for every url.  This also pins byte-parity
+    between the kernel-computed ``input_hash`` and the relational
+    ``input_quads_hash`` (a mismatch would flip rows to
+    recomputed=true and fail the hash check).  Equality of incremental
+    vs full recompute under real edits is byte-asserted in
+    tests/test_pipeline_spark.py.
     """
     from rdf_canonize_spark.pipeline.incremental import (
         canonize_with_hash,
@@ -494,9 +504,7 @@ def q_canonize_incremental(spark, sf_dir):
     quads = _quads(spark, sf_dir)
     prior = canonize_with_hash(quads, max_work_factor=3)
     inc = incremental_canonize(quads, prior, max_work_factor=3)
-    return inc.select(
-        "url", "n_quads", "quads_hash", "input_hash", "recomputed"
-    )
+    return inc.select("url", "n_quads", "input_hash", "recomputed")
 
 
 def q_lineitem_salted_join(spark, sf_dir):
@@ -712,8 +720,12 @@ def oracle_sql() -> dict[str, str]:
         "issue_ids": oracles.issue_ids(),
         "relabel_quads": oracles.relabel(),
         "canonical_document": oracles.canonical_document(),
-        # canonize_rdfc10: intentionally no oracle (n-degree recursion is
-        # not SQL-expressible); driver records rows-only check.
+        # canonize_rdfc10 / canonize_incremental: PARTIAL oracles over
+        # the kernel's SQL-expressible outputs (n_quads, n_bnodes,
+        # input_hash, recomputed); the canonical serialization itself is
+        # byte-checked against reference-generated goldens in tests/.
+        "canonize_rdfc10": oracles.canonize_partial(),
+        "canonize_incremental": oracles.canonize_incremental_partial(),
         "entity_degrees": oracles.entity_degrees(),
         "entity_canonical_map": oracles.canonical_entity_map(),
         "entity_canonicalized_quads": oracles.entity_canonicalized_quads(),
@@ -793,7 +805,8 @@ def oracle_sql() -> dict[str, str]:
               ) AS session_idx
               FROM gaps
             )
-            SELECT user_id, session_idx,
+            SELECT user_id,
+                   CAST(session_idx AS BIGINT) AS session_idx,
                    COUNT(*) AS n_events,
                    MIN(ts) AS session_start,
                    MAX(ts) AS session_end,

@@ -329,6 +329,58 @@ SELECT url,
 FROM rlines GROUP BY url"""
 
 
+_QUAD_COLS = ["s_kind", "s", "p", "o_kind", "o",
+              "o_datatype", "o_lang", "g_kind", "g"]
+
+# Byte-exact mirror of canon_stage.input_hash_of_rows /
+# incremental.input_quads_hash: length-prefixed fields (strlen = BYTE
+# length, matching Spark octet_length / Python len(utf-8)), chr(31)
+# joins, per-row sha256 hex, order-independent distinct-digest rollup.
+_FRAMED_LINE = (" || chr(31) || ").join(
+    f"(CASE WHEN {c} IS NULL THEN chr(0) "
+    f"ELSE CAST(strlen(CAST({c} AS VARCHAR)) AS VARCHAR) || ':' "
+    f"|| CAST({c} AS VARCHAR) END)"
+    for c in _QUAD_COLS
+)
+
+_INPUT_HASH_CTES = f"""
+qh AS (SELECT url, sha256({_FRAMED_LINE}) AS qh FROM quads),
+ih AS (
+  SELECT url,
+         sha256(string_agg(DISTINCT qh, '' ORDER BY qh)) AS input_hash
+  FROM qh GROUP BY url
+),
+nq AS (
+  SELECT url, CAST(COUNT(*) AS INT) AS n_quads
+  FROM dquads GROUP BY url
+)
+"""
+
+
+def canonize_partial():
+    """Partial oracle for the full canonize kernel: the
+    SQL-expressible per-url outputs (deduped quad count, distinct
+    blank-node count, input content hash); the canonical serialization
+    itself is byte-checked against reference goldens in tests."""
+    return f"""WITH {QUADS_CTE}, {_INPUT_HASH_CTES},
+bn AS (
+  SELECT url, CAST(COUNT(DISTINCT bnode) AS INT) AS n_bnodes
+  FROM bnode_lines GROUP BY url
+)
+SELECT nq.url, nq.n_quads, COALESCE(bn.n_bnodes, 0) AS n_bnodes,
+       ih.input_hash
+FROM nq JOIN ih USING (url) LEFT JOIN bn USING (url)"""
+
+
+def canonize_incremental_partial():
+    """Partial oracle for the recrawl path with prior == current: every
+    url carries forward (recomputed = false) with the same n_quads and
+    input_hash the quads CTE yields."""
+    return f"""WITH {QUADS_CTE}, {_INPUT_HASH_CTES}
+SELECT nq.url, nq.n_quads, ih.input_hash, FALSE AS recomputed
+FROM nq JOIN ih USING (url)"""
+
+
 def sharded_link():
     """Oracle for the sharded-broadcast dictionary join: sharding is an
     execution strategy, so the oracle is the plain left join over the

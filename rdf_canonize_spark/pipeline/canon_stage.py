@@ -47,8 +47,42 @@ CANONICAL_SCHEMA = StructType(
         StructField("deep_iterations", LongType(), True),
         StructField("quads_hash", StringType(), True),
         StructField("error", StringType(), True),
+        StructField("input_hash", StringType(), True),
     ]
 )
+
+# Framing for the order-independent input-content hash (shared contract
+# with pipeline/incremental.input_quads_hash and the DuckDB oracle):
+# each field is byte-length-prefixed ("<len>:<value>", null -> chr(0)),
+# fields joined with chr(31); the line digests are SHA-256 hex, and the
+# document hash is SHA-256 over the sorted distinct digests.  Length
+# prefixes make the framing prefix-free (a value containing chr(31) or
+# chr(0) cannot shift field boundaries), and hashing lines before the
+# order-independent aggregation removes cross-line ambiguity.
+_SEP = chr(31)
+_NULL = chr(0)
+
+
+def input_hash_of_rows(rows):
+    """Order-independent content hash of a document's raw quad rows
+    (pre-dedup; duplicate rows collapse at digest level)."""
+    digests = set()
+    for row in rows:
+        parts = []
+        for v in row:
+            if v is None:
+                parts.append(_NULL)
+            else:
+                s = str(v)
+                parts.append(
+                    "%d:%s" % (len(s.encode("utf-8", "surrogatepass")), s)
+                )
+        digests.add(
+            hashlib.sha256(
+                _SEP.join(parts).encode("utf-8", "surrogatepass")
+            ).hexdigest()
+        )
+    return hashlib.sha256("".join(sorted(digests)).encode()).hexdigest()
 
 
 def rows_to_dataset(rows):
@@ -86,6 +120,7 @@ def make_canonize_fn(max_work_factor=3):
     def canonize_group(key, pdf):
         url = key[0]
         rows = list(pdf[cols].itertuples(index=False, name=None))
+        input_hash = input_hash_of_rows(rows)
         dataset = rows_to_dataset(rows)
         n_bnodes = len(
             {
@@ -120,6 +155,7 @@ def make_canonize_fn(max_work_factor=3):
                     "deep_iterations": engine.deep_iterations_used,
                     "quads_hash": quads_hash,
                     "error": error,
+                    "input_hash": input_hash,
                 }
             ]
         )
@@ -132,12 +168,16 @@ OVERSIZED_PREFIX = "Document exceeds maximum quad count"
 
 def _canonize_rows_for_url(url, rows, max_work_factor, doc_timeout_ms=0,
                            max_doc_quads=0):
+    input_hash = input_hash_of_rows(rows)
     if max_doc_quads and len(rows) > max_doc_quads:
         # Mega-document routing (SCALE.md): bound per-task memory by
         # refusing documents above the cap BEFORE materializing any
         # per-document state; ``requeue_oversized`` re-derives their
         # quads for a dedicated high-memory job.  Row count is
         # pre-dedup -- the cap is a memory bound, not a semantic one.
+        # input_hash IS still computed (O(rows), no extra state): the
+        # recrawl path can skip re-quarantining an unchanged oversized
+        # document.
         return {
             "url": url,
             "nquads": None,
@@ -147,6 +187,7 @@ def _canonize_rows_for_url(url, rows, max_work_factor, doc_timeout_ms=0,
             "deep_iterations": 0,
             "quads_hash": None,
             "error": f"{OVERSIZED_PREFIX} ({len(rows)} > {max_doc_quads})",
+            "input_hash": input_hash,
         }
     dataset = rows_to_dataset(rows)
     n_bnodes = len(
@@ -180,6 +221,7 @@ def _canonize_rows_for_url(url, rows, max_work_factor, doc_timeout_ms=0,
         "deep_iterations": engine.deep_iterations_used,
         "quads_hash": qh,
         "error": error,
+        "input_hash": input_hash,
     }
 
 
@@ -271,11 +313,12 @@ def make_canonize_arrow_fn(max_work_factor=3, doc_timeout_ms=0,
             ("deep_iterations", pa.int64()),
             ("quads_hash", pa.string()),
             ("error", pa.string()),
+            ("input_hash", pa.string()),
         ]
     )
 
     def flush(results):
-        cols = list(zip(*results)) if results else [[]] * 8
+        cols = list(zip(*results)) if results else [[]] * 9
         arrays = [
             pa.array(cols[0], pa.string()),
             pa.array(cols[1], pa.string()),
@@ -288,6 +331,7 @@ def make_canonize_arrow_fn(max_work_factor=3, doc_timeout_ms=0,
             pa.array(cols[5], pa.int64()),
             pa.array(cols[6], pa.string()),
             pa.array(cols[7], pa.string()),
+            pa.array(cols[8], pa.string()),
         ]
         return pa.RecordBatch.from_arrays(arrays, schema=out_type)
 
@@ -298,7 +342,7 @@ def make_canonize_arrow_fn(max_work_factor=3, doc_timeout_ms=0,
         return (
             r["url"], r["nquads"], r["label_map"], r["n_quads"],
             r["n_bnodes"], r["deep_iterations"], r["quads_hash"],
-            r["error"],
+            r["error"], r["input_hash"],
         )
 
     def canonize_partition(batches):

@@ -172,6 +172,7 @@ def canonize_nquads_files(spark, path, max_work_factor=3):
         F.lit(None).cast("long").alias("deep_iterations"),
         F.lit(None).cast("string").alias("quads_hash"),
         "error",
+        F.lit(None).cast("string").alias("input_hash"),
     )
     # empty files: canonical form is ''
     empties = (
@@ -185,6 +186,9 @@ def canonize_nquads_files(spark, path, max_work_factor=3):
             F.lit(0).cast("long").alias("deep_iterations"),
             F.sha2(F.lit(""), 256).alias("quads_hash"),
             F.lit(None).cast("string").alias("error"),
+            # input_hash over an empty row set = sha256 of the empty
+            # digest concatenation (matches input_hash_of_rows([]))
+            F.sha2(F.lit(""), 256).alias("input_hash"),
         )
     )
     return canonical.unionByName(errs).unionByName(empties)

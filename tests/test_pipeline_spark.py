@@ -320,3 +320,60 @@ def test_incremental_canonize_recomputes_only_changed(spark, pages):
          for r in full2.collect()}
     assert a == b
     quads1.unpersist(); prior.unpersist(); inc.unpersist()
+
+
+def test_input_hash_kernel_relational_parity_and_framing(spark, pages):
+    """The kernel-computed ``input_hash`` must byte-match the
+    relational ``input_quads_hash`` (the incremental split compares
+    them; a silent mismatch would recompute everything -- or worse,
+    a collision would carry stale output).  Also pins the framing as
+    collision-proof: values containing the separator characters
+    chr(31)/chr(0)/chr(10) cannot shift field or line boundaries."""
+    from rdf_canonize_spark.pipeline.canon_stage import canonize_documents
+    from rdf_canonize_spark.pipeline.incremental import input_quads_hash
+    from rdf_canonize_spark.pipeline.link import build_quads, gazetteer_df
+
+    quads = build_quads(pages, gazetteer_df(spark))
+    rel = {r["url"]: r["input_hash"]
+           for r in input_quads_hash(quads).collect()}
+    ker = {r["url"]: r["input_hash"]
+           for r in canonize_documents(quads, max_work_factor=3).collect()}
+    assert rel == ker and len(rel) > 0
+
+    # Adversarial framing: naive separator-join would collide these.
+    sep, nul = chr(31), chr(0)
+
+    def quad(url, s, p, o):
+        return (url, 0, s, p, 2, o, None, None, 3, "")
+
+    rows = [
+        # A vs B: separator inside a value shifts fields under naive
+        # framing ("a<sep>b" + "c" vs "a" + "b<sep>c")
+        quad("u:A", "a" + sep + "b", "c", "v"),
+        quad("u:B", "a", "b" + sep + "c", "v"),
+        # C vs D: newline inside a value vs two rows (cross-line
+        # ambiguity of newline-joined framing)
+        quad("u:C", "s", "p", "x"),
+        quad("u:C", "s", "p", "y"),
+        quad("u:D", "s", "p", "x .\n<s> <p> y"),
+        # E vs F: null vs literal NUL marker character
+        ("u:E", 0, "s", "p", 2, "v", None, None, 3, ""),
+        ("u:F", 0, "s", "p", 2, "v", nul, None, 3, ""),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "url string, s_kind int, s string, p string, o_kind int, "
+        "o string, o_datatype string, o_lang string, g_kind int, "
+        "g string",
+    )
+    h = {r["url"]: r["input_hash"]
+         for r in input_quads_hash(df).collect()}
+    assert len({h["u:A"], h["u:B"]}) == 2
+    assert len({h["u:C"], h["u:D"]}) == 2
+    assert len({h["u:E"], h["u:F"]}) == 2
+    # kernel agrees on the adversarial rows too
+    kh = {r["url"]: r["input_hash"]
+          for r in canonize_documents(
+              df, max_work_factor=3, strategy="repartition"
+          ).collect()}
+    assert kh == h
