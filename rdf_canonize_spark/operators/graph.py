@@ -34,7 +34,6 @@ def connected_components(edges_df, src="src", dst="dst", max_iter=25):
     component = min node id (lexicographic for strings) in the
     component.  Isolated endpoints appear with themselves as component.
     """
-    spark = edges_df.sparkSession
     e = edges_df.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     und = e.unionByName(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -46,6 +45,7 @@ def connected_components(edges_df, src="src", dst="dst", max_iter=25):
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    changed = None
     for _ in range(max_iter):
         # min label over the closed neighborhood: neighbor labels
         # (join on the edge) unioned with own label
@@ -65,4 +65,13 @@ def connected_components(edges_df, src="src", dst="dst", max_iter=25):
         ).localCheckpoint()
         if changed == 0:
             break
+    if changed:
+        # Falling through with unmerged labels would silently return
+        # split components; surface it -- the caller can raise max_iter
+        # (rounds needed = graph diameter).
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"rounds ({changed} labels still changing); the graph "
+            f"diameter exceeds max_iter"
+        )
     return labels.select("node", F.col("label").alias("component"))

@@ -65,7 +65,15 @@ def salted_join(fact_df, dim_df, key, n_salts=16, how="inner"):
     deterministic under repartitioning.  Replication cost: dim rows
     x n_salts -- size n_salts from the heavy-hitter counts
     (operators/sketches.py), not a guess.
+
+    Only ``how`` in ('inner', 'left') is equivalent to the plain join:
+    for right/full joins the n_salts-times replicated dim side would
+    emit every unmatched dim row n_salts times -- silently wrong, so
+    rejected (same precondition sharded_broadcast_join enforces).
     """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left only "
+                         "(replicated dim side breaks right/full)")
     salt = F.pmod(
         F.xxhash64(*[F.col(c) for c in fact_df.columns]),
         F.lit(n_salts),

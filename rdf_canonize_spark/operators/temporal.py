@@ -43,26 +43,36 @@ def asof_join(left, right, key_left, key_right, ts_left, ts_right,
     Right side must be unique per (key, ts) — pre-aggregate if not;
     ambiguity there is a data-model bug, not something to resolve
     silently.
+
+    The payload is carried as ONE struct built only on right rows: the
+    struct is non-null even when every field in it is null, so
+    ``last(ignorenulls=True)`` always takes the whole matching row.
+    Carrying each column independently would tear rows — a
+    legitimately-NULL payload value in the matching right row would be
+    replaced by a stale value from an older right row.
     """
     lcols = left.columns
+    payload_t = right.select(
+        F.struct(*payload_cols).alias("__payload")
+    ).schema[0].dataType
     l = (
         left.withColumnRenamed(key_left, "__k")
         .withColumn("__ts", F.col(ts_left))
         .withColumn("__is_left", F.lit(1))
+        .withColumn("__payload", F.lit(None).cast(payload_t))
     )
-    for c in payload_cols:
-        l = l.withColumn(c, F.lit(None).cast(dict(right.dtypes)[c]))
     r = (
         right.withColumnRenamed(key_right, "__k")
         .withColumn("__ts", F.col(ts_right))
         .withColumn("__is_left", F.lit(0))
+        .withColumn("__payload", F.struct(*payload_cols))
     )
     for c in lcols:
         if c not in (key_left,) and c not in r.columns:
             r = r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
-    keep = ["__k", "__ts", "__is_left"] + [
+    keep = ["__k", "__ts", "__is_left", "__payload"] + [
         c for c in lcols if c != key_left
-    ] + list(payload_cols)
+    ]
     u = l.select(*keep).unionByName(r.select(*keep))
     # Right rows sort before left rows at equal timestamps, making the
     # join inclusive (ts_left >= ts_right).  rowsBetween + last() is a
@@ -72,12 +82,17 @@ def asof_join(left, right, key_left, key_right, ts_left, ts_right,
         .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    for c in payload_cols:
-        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    u = u.withColumn(
+        "__payload", F.last("__payload", ignorenulls=True).over(w)
+    )
     return (
         u.filter(F.col("__is_left") == 1)
+        .select(
+            "*",
+            *[F.col("__payload")[c].alias(c) for c in payload_cols],
+        )
         .withColumnRenamed("__k", key_left)
-        .drop("__ts", "__is_left")
+        .drop("__ts", "__is_left", "__payload")
     )
 
 

@@ -134,20 +134,28 @@ def resume_filter(spark, pages_df, out_dir):
     return pages_df.join(done, "url", "left_anti")
 
 
-def write_batch(canonical_df, out_dir, batch_id, fmt="parquet"):
+def write_batch(canonical_df, out_dir, batch_id, fmt="parquet",
+                nonempty_hint=None):
     """Atomic batch write + manifest append.
 
     Spark's committer makes the per-batch directory atomic; the manifest
     row is appended only after the data write succeeds, so a crash
     between the two re-processes (idempotent overwrite), never skips.
+
+    ``nonempty_hint``: a fully-resumed batch has an empty todo set, and
+    overwriting then would wipe the completed batch's data while the
+    manifest still lists its urls as done (permanent loss).  Callers
+    that already know emptiness from a CHEAP frame (run_pipeline checks
+    the post-resume pages set) pass True/False and skip the guard; with
+    the default None the guard evaluates ``canonical_df.limit(1)``,
+    which runs the Arrow kernel for at least one partition -- safe but
+    double work on the normal path.
     """
     spark = canonical_df.sparkSession
     data_path = os.path.join(out_dir, "canonical_nquads", f"batch={batch_id}")
-    # A fully-resumed batch has an empty todo set: overwriting here
-    # would wipe the completed batch's data while the manifest still
-    # lists its urls as done (permanent loss).  Crash-resume still
-    # overwrites partial data (todo is then non-empty).
-    if canonical_df.limit(1).count() == 0:
+    if nonempty_hint is False:
+        return
+    if nonempty_hint is None and canonical_df.limit(1).count() == 0:
         return
     canonical_df.write.mode("overwrite").format(fmt).save(data_path)
     done_urls = spark.read.format(fmt).load(data_path).select("url")

@@ -50,5 +50,10 @@ def run_pipeline(
     }
     results["nodes"] = node_table(results["edges"])
     if out_dir:
-        write_batch(canonical, out_dir, batch_id)
+        # Emptiness (fully-resumed batch) is decided on the cheap
+        # post-resume pages set -- one pruned scan + manifest
+        # anti-join -- NOT by evaluating the canonize plan, which
+        # would run the Arrow kernel an extra time.
+        nonempty = pages_df.limit(1).count() > 0
+        write_batch(canonical, out_dir, batch_id, nonempty_hint=nonempty)
     return results

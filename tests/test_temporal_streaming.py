@@ -56,6 +56,64 @@ def test_asof_join_semantics(spark):
     assert got[3] == (None, None)
 
 
+def test_asof_join_null_payload_not_torn(spark):
+    """A legitimately-NULL payload value in the matching right row must
+    NOT be replaced by a stale value from an older right row: the
+    payload is carried as one struct, so the whole matching row wins
+    (matches DuckDB ASOF semantics)."""
+    from rdf_canonize_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1, 20), (2, 1, 5)], "eid int, k int, ts int"
+    )
+    right = spark.createDataFrame(
+        [(1, 1, "old", 7.0), (1, 10, None, 9.0)],
+        "k int, rts int, tag string, amt double",
+    )
+    got = {
+        r["eid"]: (r["tag"], r["amt"])
+        for r in asof_join(
+            left, right, "k", "k", "ts", "rts", ["tag", "amt"]
+        ).collect()
+    }
+    # eid=1 matches the rts=10 row whose tag IS NULL -- must stay NULL
+    assert got[1] == (None, 9.0)
+    assert got[2] == ("old", 7.0)
+
+
+def test_salted_join_rejects_right_full(spark):
+    import pytest
+
+    from rdf_canonize_spark.operators.joins import salted_join
+
+    fact = spark.createDataFrame([(1, "a")], "row_id int, key string")
+    dim = spark.createDataFrame([("a", "v")], "key string, val string")
+    for how in ("right", "full", "outer"):
+        with pytest.raises(ValueError):
+            salted_join(fact, dim, "key", n_salts=4, how=how)
+
+
+def test_connected_components_raises_when_unconverged(spark):
+    import pytest
+
+    from rdf_canonize_spark.operators.graph import connected_components
+
+    # a 12-node chain needs ~11 rounds; max_iter=2 cannot converge and
+    # must raise instead of silently returning split components
+    chain = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(11)],
+        "src string, dst string",
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)
+    # and with enough rounds the same graph converges to one component
+    labels = {
+        r["node"]: r["component"]
+        for r in connected_components(chain, max_iter=15).collect()
+    }
+    assert set(labels.values()) == {"n00"}
+
+
 def test_close_event_pairs_exact_and_duplicate_free(spark):
     from rdf_canonize_spark.operators.temporal import close_event_pairs
 
