@@ -600,6 +600,15 @@ def q_dedup_simhash(spark, sf_dir):
     return dedup.simhash(dedup.near_dup_corpus(spark, sf_dir))
 
 
+def q_dedup_lsh_verified(spark, sf_dir):
+    """Composed near-dup scale path: MinHash -> LSH band candidates ->
+    exact Jaccard verification restricted to survivors (never a
+    corpus-wide shingle self-join)."""
+    return dedup.lsh_verified_pairs(
+        dedup.near_dup_corpus(spark, sf_dir), threshold=0.5
+    )
+
+
 def q_text_lang_id(spark, sf_dir):
     return textstats.lang_id(_docs(spark, sf_dir))
 
@@ -648,6 +657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_pairs": q_dedup_jaccard,
         "dedup_minhash_signatures": q_dedup_minhash_signatures,
         "dedup_lsh_candidates": q_dedup_lsh_candidates,
+        "dedup_lsh_verified": q_dedup_lsh_verified,
         "dedup_simhash": q_dedup_simhash,
         "text_lang_id": q_text_lang_id,
         "text_quality": q_text_quality,
@@ -703,6 +713,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard_pairs": oracle_ops.jaccard_pairs(threshold=0.5),
         "dedup_minhash_signatures": oracle_ops.minhash_signatures(),
         "dedup_lsh_candidates": oracle_ops.lsh_candidates(),
+        "dedup_lsh_verified": oracle_ops.lsh_verified_pairs(threshold=0.5),
         "dedup_simhash": oracle_ops.simhash(),
         "text_lang_id": oracle_ops.lang_id(),
         "text_quality": oracle_ops.quality_score(),

@@ -12,11 +12,16 @@ uniform hash is as valid a sketch as numeric min, and both engines
 compare ASCII identically.
 
 Scale notes (100 TB):
-* shingle explode -> self-join is the textbook LSH shape: the join key
-  (band hash) is uniform by construction, so no skew salting needed;
+* shingle explode -> band-key equi-join is the textbook LSH shape: the
+  join key (band hash) is uniform by construction, so no skew salting
+  needed;
 * ``groupBy(doc).agg(min)`` per seed is a partial-aggregating shuffle
   (map-side combine cuts it by the shingle count);
-* candidate verification (exact Jaccard) runs only on LSH survivors.
+* candidate verification (exact Jaccard) runs only on LSH survivors:
+  ``lsh_verified_pairs`` = ``lsh_candidates`` ->
+  ``jaccard_on_candidates``.  The standalone all-pairs
+  ``jaccard_pairs`` is the small-corpus/diagnostic form (quadratic in
+  shingle document frequency) and takes a ``max_doc_freq`` cap.
 """
 
 from __future__ import annotations
@@ -78,19 +83,7 @@ def word_shingles(corpus, n=SHINGLE_N):
     ).filter(F.length("shingle") > 0)
 
 
-def jaccard_pairs(corpus, threshold=0.5):
-    """Exact n-gram Jaccard similarity for all pairs sharing >= 1
-    shingle.  Self-join on shingle, then |A&B| / (|A|+|B|-|A&B|)."""
-    sh = word_shingles(corpus).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    common = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+def _jaccard_from_common(common, sizes, threshold):
     sa = sizes.select(
         F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a")
     )
@@ -109,6 +102,77 @@ def jaccard_pairs(corpus, threshold=0.5):
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def jaccard_pairs(corpus, threshold=0.5, max_doc_freq=None):
+    """Exact n-gram Jaccard similarity for all pairs sharing >= 1
+    shingle.  Self-join on shingle, then |A&B| / (|A|+|B|-|A&B|).
+
+    SCALE WARNING: this standalone form is quadratic in the document
+    frequency of a shingle (a boilerplate 3-gram in k documents emits
+    k^2 join rows) -- it is the small-corpus/diagnostic path.  The
+    100 TB path is ``lsh_candidates`` -> ``jaccard_on_candidates``,
+    which verifies only LSH survivors.  ``max_doc_freq`` bounds the
+    blow-up here when the standalone form IS wanted: shingles appearing
+    in more documents are dropped from the join (a boilerplate shingle
+    carries ~no similarity signal; note Jaccard then becomes exact over
+    the *filtered* shingle sets -- sizes are computed after the cap so
+    the measure stays a true Jaccard of those sets).
+    """
+    sh = word_shingles(corpus)
+    if max_doc_freq is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle", "left_semi")
+    sh = sh.cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return _jaccard_from_common(common, sizes, threshold)
+
+
+def jaccard_on_candidates(corpus, pairs_df, threshold=0.5):
+    """Exact Jaccard computed ONLY for candidate pairs (LSH survivors):
+    the verification stage of the scale path.
+
+    Shape: the shingle table joins the candidate list on doc id (cost
+    linear in candidates x shingles-per-doc), then the pair's two
+    shingle sets equi-join on (doc_b, shingle) -- never a corpus-wide
+    shingle self-join, so a boilerplate shingle shared by k documents
+    costs k rows, not k^2.  ``pairs_df``: (doc_a, doc_b) with
+    doc_a < doc_b (``lsh_candidates`` output shape).
+    """
+    sh = word_shingles(corpus).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a_sh = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b_sh = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        pairs_df.join(a_sh, "doc_a")
+        .join(b_sh, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return _jaccard_from_common(common, sizes, threshold)
+
+
+def lsh_verified_pairs(corpus, threshold=0.5, n_hashes=N_MINHASH,
+                       bands=LSH_BANDS):
+    """The composed 100 TB near-dup path: MinHash -> LSH banding ->
+    bucket equi-join candidates -> exact Jaccard verification on
+    survivors only."""
+    return jaccard_on_candidates(
+        corpus, lsh_candidates(corpus, n_hashes, bands), threshold
     )
 
 

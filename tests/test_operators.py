@@ -55,6 +55,54 @@ def test_lsh_candidates_superset_of_high_jaccard(corpus):
     assert len(missed) <= max(1, len(exact) // 10)
 
 
+def test_lsh_verified_equals_jaccard_on_candidate_pairs(corpus):
+    """The composed scale path (LSH -> verify survivors only) returns
+    exactly the all-pairs Jaccard result restricted to LSH candidates:
+    verification never invents or loses a pair."""
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.lsh_candidates(corpus).collect()
+    }
+    allpairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(corpus, threshold=0.5).collect()
+    }
+    verified = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.lsh_verified_pairs(corpus, threshold=0.5).collect()
+    }
+    assert verified == {
+        p: j for p, j in allpairs.items() if p in cand
+    }
+    # and the planted exact copies (jaccard 1.0) always survive
+    base_ids = [
+        r["doc_id"]
+        for r in corpus.filter("doc_id < 1000000").select("doc_id").collect()
+    ]
+    planted = {(k, k + 2000000) for k in base_ids if k % 10 == 0}
+    assert planted <= set(verified)
+
+
+def test_jaccard_max_doc_freq_drops_boilerplate(spark):
+    """A boilerplate shingle shared by every document must not create
+    pairs once capped: the cap removes the k^2 blow-up source while
+    leaving genuinely-similar pairs intact."""
+    boiler = "all rights reserved globally"
+    rows = [(i, f"unique{i} text{i} body{i} {boiler}")
+            for i in range(40)]
+    # docs 0 and 1 genuinely similar beyond the boilerplate
+    rows[1] = (1, rows[0][1].replace("unique0", "unique1"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = dedup.jaccard_pairs(df, threshold=0.1)
+    capped = dedup.jaccard_pairs(df, threshold=0.1, max_doc_freq=5)
+    pairs_capped = {(r["doc_a"], r["doc_b"])
+                    for r in capped.collect()}
+    # uncapped: every pair shares the boilerplate shingles -> O(k^2)
+    assert uncapped.count() == 40 * 39 // 2
+    # capped: only the genuinely similar planted pair remains
+    assert pairs_capped == {(0, 1)}
+
+
 def test_simhash_near_dups_close_in_hamming(corpus):
     sh = {r["doc_id"]: r["simhash_bits"] for r in
           dedup.simhash(corpus).collect()}
