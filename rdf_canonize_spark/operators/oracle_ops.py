@@ -316,7 +316,60 @@ def brute_force_topk():
 
 
 def ivf_topk():
-    return _ranked("e.label = q.qlabel")
+    """IVF-flat mirror: stride-sampled centroids, squared-L2 argmin
+    assignment (d2 via three dot products, identical arithmetic to the
+    Spark side), nprobe nearest cells per query, exact cosine rerank
+    inside the probed cells."""
+    from .similarity import CENTROID_MOD, CENTROID_STRIDE, NPROBE
+
+    d2 = (
+        "list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+        " + list_dot_product({b}, {b})"
+    )
+    return f"""WITH {_EMB_CTE},
+ed AS (SELECT * FROM e WHERE len(v) = {EMB_DIM}),
+cents AS (
+  SELECT vec_id AS cell_id, v AS cv FROM ed
+  WHERE vec_id % {CENTROID_STRIDE} = {CENTROID_MOD}
+),
+assigned AS (
+  SELECT vec_id, v, cell_id FROM (
+    SELECT ed.vec_id, ed.v, c.cell_id,
+      ROW_NUMBER() OVER (
+        PARTITION BY ed.vec_id
+        ORDER BY {d2.format(a='ed.v', b='c.cv')}, c.cell_id
+      ) AS rn
+    FROM ed, cents c
+  ) WHERE rn = 1
+),
+qd AS (SELECT query_id, qv FROM q WHERE len(qv) = {EMB_DIM}),
+probes AS (
+  SELECT query_id, qv, cell_id FROM (
+    SELECT qd.query_id, qd.qv, c.cell_id,
+      ROW_NUMBER() OVER (
+        PARTITION BY qd.query_id
+        ORDER BY {d2.format(a='qd.qv', b='c.cv')}, c.cell_id
+      ) AS cell_rank
+    FROM qd, cents c
+  ) WHERE cell_rank <= {NPROBE}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id,
+    list_dot_product(a.v, p.qv) /
+      (sqrt(list_dot_product(a.v, a.v)) *
+       sqrt(list_dot_product(p.qv, p.qv))) AS cosine
+  FROM assigned a JOIN probes p ON a.cell_id = p.cell_id
+  WHERE a.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+    CAST(ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+    ) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, round(cosine, 6) AS cosine, rank
+FROM ranked WHERE rank <= {TOP_K}"""
 
 
 def lsh_ann_topk():

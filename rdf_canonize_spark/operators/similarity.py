@@ -3,10 +3,16 @@
 * ``brute_force_topk`` -- exact cosine top-k, the correctness baseline.
   Dot products via ``zip_with`` + ``aggregate`` in DOUBLE (bit-identical
   to the oracle's double-precision left-to-right sum).
-* ``ivf_topk`` -- the scale path: candidate set restricted to the
-  query's partition (the ``label`` column serves as the IVF cell id);
-  exact rerank inside the cell.  At 100 TB the cross join becomes
-  cell-local: |Q| x |cell| instead of |Q| x N.
+* ``ivf_topk`` -- the scale path: IVF-flat with COMPUTED cells.
+  Centroids are a deterministic stride-sample of corpus vectors (no
+  Lloyd refinement: a mean-recomputation pass would be
+  float-summation-order-dependent and thus not reproducible across
+  engines); every vector is assigned to its nearest centroid
+  (squared-L2 argmin, one map-side-combinable shuffle); each query
+  probes its ``NPROBE`` nearest cells and reranks exactly inside
+  them.  At 100 TB the candidate set is |Q| x nprobe x cell instead
+  of |Q| x N, and the centroid table is tiny by definition, so it
+  broadcasts.
 * ``lsh_ann_topk`` -- random-hyperplane LSH: 8 deterministic
   pseudo-hyperplanes (seeded), sign pattern = bucket key, exact rerank
   within bucket.  Hyperplane components are literals, so the same
@@ -22,6 +28,9 @@ N_QUERIES = 10  # vec_id < N_QUERIES are the query vectors
 TOP_K = 5
 N_HYPERPLANES = 8
 EMB_DIM = 64
+CENTROID_STRIDE = 97  # centroid = every 97th corpus vector...
+CENTROID_MOD = 13     # ...offset so centroids aren't query vectors
+NPROBE = 3
 
 
 def _hyperplanes(seed=7, n=N_HYPERPLANES, dim=EMB_DIM):
@@ -95,19 +104,68 @@ def brute_force_topk(spark, sf_dir, k=TOP_K, n_queries=N_QUERIES):
     return _topk(scored, k)
 
 
-def ivf_topk(spark, sf_dir, k=TOP_K, n_queries=N_QUERIES):
-    """ANN: search only the query's cell (label)."""
-    emb = _load(spark, sf_dir)
+def _d2(a, b):
+    """Squared L2 distance via three dot products: deterministic,
+    identical arithmetic to the DuckDB oracle (no engine-internal
+    distance kernel whose summation order is unknown)."""
+    return _dot(a, a) - 2 * _dot(a, b) + _dot(b, b)
+
+
+def centroids(emb, stride=CENTROID_STRIDE, mod=CENTROID_MOD):
+    """Deterministic sampled centroids (IVF training stand-in):
+    every ``stride``-th corpus vector.  cell_id = the centroid's
+    vec_id.  At real scale pass an explicitly trained/sampled centroid
+    table instead -- everything downstream only needs (cell_id, cv)."""
+    return emb.filter(
+        F.col("vec_id") % stride == mod
+    ).select(F.col("vec_id").alias("cell_id"), F.col("v").alias("cv"))
+
+
+def assign_cells(emb, cents):
+    """Nearest-centroid (Voronoi) assignment.  Shape: corpus x
+    broadcast centroids, then ONE map-side-combinable groupBy taking
+    the lexicographic min of (d2, cell_id, v, label) -- (d2, cell_id)
+    is unique per vector so the payload fields ride along without a
+    join-back, and ties on d2 break deterministically on cell_id."""
+    scored = emb.crossJoin(F.broadcast(cents)).withColumn(
+        "d2", _d2(F.col("v"), F.col("cv"))
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.min(F.struct("d2", "cell_id", "v", "label")).alias("m")
+    )
+    return best.select(
+        "vec_id",
+        F.col("m.v").alias("v"),
+        F.col("m.label").alias("label"),
+        F.col("m.cell_id").alias("cell_id"),
+    )
+
+
+def ivf_topk(spark, sf_dir, k=TOP_K, n_queries=N_QUERIES,
+             nprobe=NPROBE):
+    """ANN via IVF-flat: computed Voronoi cells, nprobe-cell probe,
+    exact cosine rerank inside the probed cells."""
+    emb = _load(spark, sf_dir).filter(F.size("v") == EMB_DIM)
+    cents = centroids(emb)
+    assigned = assign_cells(emb, cents)
     queries = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("label").alias("qlabel"),
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
-    pairs = emb.join(
-        F.broadcast(queries),
-        (F.col("label") == F.col("qlabel"))
-        & (F.col("vec_id") != F.col("query_id")),
+    # nprobe nearest cells per query: |Q| x |centroids| is tiny
+    qc = queries.crossJoin(F.broadcast(cents)).withColumn(
+        "qd2", _d2(F.col("qv"), F.col("cv"))
     )
+    wq = Window.partitionBy("query_id").orderBy("qd2", "cell_id")
+    probes = (
+        qc.withColumn("cell_rank", F.row_number().over(wq))
+        .filter(F.col("cell_rank") <= nprobe)
+        .select("query_id", "qv", "cell_id")
+    )
+    pairs = assigned.join(
+        F.broadcast(probes),
+        (assigned["cell_id"] == probes["cell_id"])
+        & (assigned["vec_id"] != probes["query_id"]),
+    ).drop(probes["cell_id"])
     scored = pairs.withColumn(
         "cosine",
         _dot(F.col("v"), F.col("qv"))
