@@ -108,6 +108,36 @@ def q_canonize_rdfc10(spark, sf_dir):
     )
 
 
+def q_canonize_hybrid(spark, sf_dir):
+    """Hybrid router: pure-Catalyst canonicalization for documents with
+    unique exact first-degree hashes, Arrow kernel for the rest.
+
+    The oracle recomputes the routing decision AND the canonical-
+    document hash for sql-routed urls -- the driver byte-verifies the
+    fast path's canonical output end-to-end, not just counts.  Kernel-
+    routed rows surface a null quads_hash_sql (their bytes are golden-
+    checked in tests; the corpus here routes fully sql).
+    """
+    from rdf_canonize_spark.pipeline.canon_stage import (
+        hybrid_canonize_documents,
+    )
+
+    quads = _quads(spark, sf_dir)
+    out = hybrid_canonize_documents(
+        quads, max_work_factor=3, with_routed=True
+    )
+    return out.select(
+        "url",
+        "n_quads",
+        "n_bnodes",
+        "input_hash",
+        "routed",
+        F.when(F.col("routed") == "sql", F.col("quads_hash")).alias(
+            "quads_hash_sql"
+        ),
+    )
+
+
 def q_entity_degrees(spark, sf_dir):
     """Skew-aware two-phase salted aggregation over entity mentions."""
     from rdf_canonize_spark.pipeline.entities import entity_degrees
@@ -676,6 +706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "relabel_quads": q_relabel,
         "canonical_document": q_canonical_document,
         "canonize_rdfc10": q_canonize_rdfc10,
+        "canonize_hybrid": q_canonize_hybrid,
         "entity_degrees": q_entity_degrees,
         "entity_canonical_map": q_entity_canonical_map,
         "entity_canonicalized_quads": q_entity_canonicalized_quads,
@@ -736,6 +767,7 @@ def oracle_sql() -> dict[str, str]:
         # input_hash, recomputed); the canonical serialization itself is
         # byte-checked against reference-generated goldens in tests/.
         "canonize_rdfc10": oracles.canonize_partial(),
+        "canonize_hybrid": oracles.canonize_hybrid(),
         "canonize_incremental": oracles.canonize_incremental_partial(),
         "entity_degrees": oracles.entity_degrees(),
         "entity_canonical_map": oracles.canonical_entity_map(),

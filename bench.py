@@ -55,6 +55,7 @@ def run_headline(spark, sf_dir):
         "relabel_quads",
         "canonical_document",
         "canonize_rdfc10",
+        "canonize_hybrid",
         "lineitem_pricing_summary",
         "orders_customer_join",
         "events_hourly",
@@ -137,6 +138,31 @@ def main():
     result["metric"] = "headline query wall-clock at " + SF_DIR
     result["value"] = total
     result["queries"] = timings
+
+    # hybrid-router evidence: fraction of documents taking the
+    # pure-Catalyst fast path (the 100x lever -- Python stays off the
+    # hot path for this fraction of the corpus)
+    spark = get_spark(
+        app_name="bench-router", master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+    )
+    try:
+        from rdf_canonize_spark.operators.relational import (
+            sql_eligible_urls,
+        )
+        from rdf_canonize_spark.pipeline.link import (
+            build_quads, gazetteer_df,
+        )
+        from rdf_canonize_spark.pipeline.pages import pages_from_documents
+
+        quads = build_quads(
+            pages_from_documents(spark, SF_DIR), gazetteer_df(spark)
+        )
+        n_urls = quads.select("url").distinct().count()
+        n_fast = sql_eligible_urls(quads).count()
+        result["hybrid_fast_fraction"] = round(n_fast / max(n_urls, 1), 4)
+    finally:
+        spark.stop()
 
     if DO_SCALING:
         # Same input, same partition count, two parallelism levels.

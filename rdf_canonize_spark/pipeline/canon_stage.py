@@ -431,6 +431,54 @@ def canonize_documents(
     )
 
 
+def hybrid_canonize_documents(quads_df, max_work_factor=3,
+                              with_routed=False, **kwargs):
+    """Hybrid router: pure-Catalyst canonicalization for documents
+    whose blank nodes are unique by exact first-degree hash (and
+    serialization-safe), the Arrow kernel for the rest.
+
+    On a web corpus the fast-path fraction is the overwhelming
+    majority, and the relational form never crosses the Python
+    boundary -- at 100x scale this keeps Arrow transport (the kernel
+    stage's marginal cost, see make_canonize_arrow_fn) off the hot
+    path entirely for most documents.  Byte-equality of the two paths
+    on eligible documents is asserted in tests and (for the canonical
+    hash) by the canonize_hybrid driver oracle.
+
+    The routing join is url-keyed; its output is co-located by url
+    either way (sort-merge partitions by url; a broadcast keeps the
+    input's already-co-located layout), so the kernel's input contract
+    holds for the slow branch with no extra exchange.
+    """
+    from ..operators import relational
+    from .incremental import input_quads_hash
+
+    # the exact first-degree hash table feeds BOTH the routing
+    # uniqueness check and the fast path's id issuance -- materialize
+    # once (narrow url/bnode/hash rows, far smaller than the quads)
+    fh = relational.bnode_first_degree_hash_exact(
+        quads_df
+    ).localCheckpoint()
+    eligible = relational.sql_eligible_urls(quads_df, fh=fh)
+    flagged = quads_df.join(
+        eligible.withColumn("__fast", F.lit(True)), "url", "left"
+    )
+    fast_q = flagged.filter(F.col("__fast")).drop("__fast")
+    slow_q = flagged.filter(F.col("__fast").isNull()).drop("__fast")
+    cols = [f.name for f in CANONICAL_SCHEMA.fields]
+    fast = relational.sql_canonize_documents(fast_q, fh=fh).join(
+        input_quads_hash(fast_q), "url"
+    )
+    slow = canonize_documents(
+        slow_q, max_work_factor=max_work_factor, **kwargs
+    )
+    if with_routed:  # expose the routing decision (no extra work)
+        fast = fast.withColumn("routed", F.lit("sql"))
+        slow = slow.withColumn("routed", F.lit("kernel"))
+        cols = cols + ["routed"]
+    return fast.select(*cols).unionByName(slow.select(*cols))
+
+
 def split_canonical(canonical_df):
     """(ok, quarantined) split of the canonize output on the error
     column -- ok rows feed materialization, quarantined rows feed the

@@ -322,6 +322,81 @@ def test_incremental_canonize_recomputes_only_changed(spark, pages):
     quads1.unpersist(); prior.unpersist(); inc.unpersist()
 
 
+def _canon_key(r):
+    return (r["nquads"], dict(r["label_map"] or {}), r["n_quads"],
+            r["n_bnodes"], r["deep_iterations"], r["quads_hash"],
+            r["input_hash"], r["error"])
+
+
+def test_hybrid_router_byte_equals_kernel(spark, pages):
+    """The hybrid fast path must be byte-identical to the Arrow kernel
+    on every output column, with BOTH branches exercised: the pipeline
+    corpus routes fully relational; crafted documents (duplicate
+    first-degree hashes, escapes, astral chars, named graphs) must
+    route to the kernel and still match it exactly."""
+    from rdf_canonize_spark.operators.relational import sql_eligible_urls
+    from rdf_canonize_spark.pipeline.canon_stage import (
+        canonize_documents,
+        hybrid_canonize_documents,
+    )
+    from rdf_canonize_spark.pipeline.link import build_quads, gazetteer_df
+
+    quads = build_quads(pages, gazetteer_df(spark)).cache()
+    n_urls = quads.select("url").distinct().count()
+    assert sql_eligible_urls(quads).count() == n_urls  # all fast here
+    kern = {r["url"]: _canon_key(r)
+            for r in canonize_documents(quads, max_work_factor=3).collect()}
+    hyb = {r["url"]: _canon_key(r)
+           for r in hybrid_canonize_documents(
+               quads, max_work_factor=3).collect()}
+    assert hyb == kern
+
+    # crafted corpus: routing must peel off each ineligibility cause
+    schema = ("url string, s_kind int, s string, p string, o_kind int, "
+              "o string, o_datatype string, o_lang string, g_kind int, "
+              "g string")
+    P = "http://x.example/p"
+
+    def b(url, s, o):
+        return (url, 1, s, P, 1, o, None, None, 3, "")
+
+    def lit(url, s, o, dt=None, lang=None, g_kind=3, g=""):
+        return (url, 0, s, P, 2, o, dt, lang, g_kind, g)
+
+    rows = [
+        # twin disconnected bnodes with identical first-degree hashes
+        # -> n-degree hashing required -> kernel
+        b("u:twins", "b0", "b1"), b("u:twins", "b2", "b3"),
+        # quote in a literal -> escaping -> kernel
+        lit("u:quote", "http://x.example/s", 'say "hi"'),
+        # astral char -> UTF-16 sort order differs -> kernel
+        lit("u:astral", "http://x.example/s", "x" + chr(0x10400) + "y"),
+        # named graph -> kernel
+        lit("u:graph", "http://x.example/s", "v",
+            g_kind=0, g="http://x.example/g"),
+        # explicit xsd:string datatype (kernel normalizes it away)
+        lit("u:xsd", "http://x.example/s", "v",
+            dt="http://www.w3.org/2001/XMLSchema#string"),
+        # eligible: two bnodes with distinct structure -> fast path
+        b("u:fast", "b0", "b1"),
+        lit("u:fast", "http://x.example/s", "v", lang="en",
+            dt="http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    fast_urls = {r["url"] for r in sql_eligible_urls(df).collect()}
+    assert fast_urls == {"u:fast"}
+    kern2 = {r["url"]: _canon_key(r)
+             for r in canonize_documents(
+                 df, max_work_factor=3, strategy="repartition").collect()}
+    hyb2 = {r["url"]: _canon_key(r)
+            for r in hybrid_canonize_documents(
+                df, max_work_factor=3, strategy="repartition").collect()}
+    assert hyb2 == kern2
+    # the twins doc genuinely exercised n-degree issuance
+    assert kern2["u:twins"][3] == 4  # n_bnodes
+    quads.unpersist()
+
+
 def test_input_hash_kernel_relational_parity_and_framing(spark, pages):
     """The kernel-computed ``input_hash`` must byte-match the
     relational ``input_quads_hash`` (the incremental split compares
