@@ -292,12 +292,20 @@ class RDFC10:
         bid = component[1]
         info = self.blank_node_info.get(bid)
         if info is not None:
-            # Set semantics on quad identity: a quad referencing the same
-            # bnode in multiple positions is recorded once
-            if quad is not info["quads"][-1]:
+            # Object-identity Set semantics, exactly mirroring the
+            # reference's `info.quads.add(quad)` on a JS Set of object
+            # references (lib/RDFC10Sync.js:483-494): the SAME quad
+            # object is recorded once even when aliased non-adjacently
+            # in dataset input, while two value-equal but distinct
+            # objects are both kept.  (A last-element identity check
+            # would double-count non-adjacent aliases.)
+            if id(quad) not in info["ids"]:
+                info["ids"].add(id(quad))
                 info["quads"].append(quad)
         else:
-            self.blank_node_info[bid] = {"quads": [quad], "hash": None}
+            self.blank_node_info[bid] = {
+                "quads": [quad], "ids": {id(quad)}, "hash": None
+            }
 
     def _modify_first_degree(self, bid, component):
         if component[0] != BLANK:

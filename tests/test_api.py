@@ -249,3 +249,38 @@ def test_canonize_timeout():
             max_work_factor=float("inf"),
             timeout=50,  # ms
         )
+
+
+def test_dataset_duplicate_quad_set_semantics():
+    """Reference parity for duplicate quads in DATASET input
+    (lib/RDFC10Sync.js:483-494): the bnode->quads index is a JS Set of
+    quad OBJECTS, so the SAME object aliased twice (non-adjacently) is
+    indexed once, while a value-equal but DISTINCT object is indexed
+    twice and shifts the first-degree hashes (and hence the issued
+    ids).  The serialization, by contrast, always iterates the raw
+    dataset, so an aliased line still appears twice in the output.
+    Expected strings generated by running the reference under node
+    with exactly these datasets (aliased vs fresh objects)."""
+    from rdf_canonize_spark.rdfc.canonize import RDFC10
+
+    def q(s, o):
+        return ((1, s, None, None), (0, "urn:p", None, None),
+                (1, o, None, None), (3, "", None, None))
+
+    a, r = q("b0", "b1"), q("b1", "b2")
+    assert RDFC10(max_work_factor=3).main([a, r]) == (
+        "_:c14n0 <urn:p> _:c14n1 .\n_:c14n2 <urn:p> _:c14n0 .\n"
+    )
+    # same object, non-adjacent alias: index dedups, output keeps both
+    assert RDFC10(max_work_factor=3).main([a, r, a]) == (
+        "_:c14n0 <urn:p> _:c14n1 .\n"
+        "_:c14n2 <urn:p> _:c14n0 .\n"
+        "_:c14n2 <urn:p> _:c14n0 .\n"
+    )
+    # equal value, distinct object: indexed twice -> different hashes,
+    # different issue order
+    assert RDFC10(max_work_factor=3).main([a, r, q("b0", "b1")]) == (
+        "_:c14n0 <urn:p> _:c14n2 .\n"
+        "_:c14n0 <urn:p> _:c14n2 .\n"
+        "_:c14n2 <urn:p> _:c14n1 .\n"
+    )
