@@ -69,6 +69,38 @@ def gen_case(rng):
     return "".join(out)
 
 
+def gen_unicode_case(rng):
+    """Unicode-focused batch: lone-surrogate UCHAR escapes and astral
+    characters concentrated in LITERALS and GRAPH IRIs (the two
+    positions where Node's lossy UTF-8 hashing and UTF-16 code-unit
+    sorting can diverge from a naive port)."""
+    n = rng.randint(2, 5)
+    uni = [chr(0x1D306), chr(0xE000), chr(0xFB01), chr(0x1F600),
+           chr(0xFFFD), chr(0xF900), chr(0x10000)]
+    esc = ["\\uD800", "\\uDC00", "\\uDBFF", "\\uD83D\\uDE00",
+           "\\U0001F600", "\\U0010FFFF"]
+    lines = set()
+    for _ in range(rng.randint(n, 3 * n)):
+        s = f"_:v{rng.randrange(n)}"
+        p = f"<http://p/{rng.randrange(3)}>"
+        r = rng.random()
+        if r < 0.45:
+            o = f"_:v{rng.randrange(n)}"
+        elif r < 0.7:
+            o = '"' + rng.choice(uni) + rng.choice(["", "x"]) + '"'
+        else:
+            o = '"a' + rng.choice(esc) + '"'
+        gr = rng.random()
+        if gr < 0.4:
+            g = ""
+        elif gr < 0.7:
+            g = " <http://g/" + rng.choice(uni) + ">"
+        else:
+            g = " <http://g/x" + rng.choice(esc) + ">"
+        lines.add(f"{s} {p} {o}{g} .\n")
+    return "".join(sorted(lines))
+
+
 def gen_dense_case(rng):
     """Denser symmetric graphs: at maxWorkFactor=1 many of these hit
     the deep-iteration budget -- exercises error-path parity (exact
@@ -88,8 +120,12 @@ def main():
     n_cases = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 20260816
     wf = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    mode = sys.argv[4] if len(sys.argv) > 4 else "mixed"
     rng = random.Random(seed)
-    gen = gen_dense_case if wf <= 1 else gen_case
+    if mode == "unicode":
+        gen = gen_unicode_case
+    else:
+        gen = gen_dense_case if wf <= 1 else gen_case
     cases = [gen(rng) for _ in range(n_cases)]
 
     mismatches = 0

@@ -204,6 +204,30 @@ case(
     '_:y <http://p/2> "a' + chr(92) + 'uDC00" .\n',
     max_work_factor=3,
 )
+# --- batch 3: astral graph names / astral bnode labels ------------------------
+# Astral chars in the GRAPH position: graph IRIs participate in quad
+# serialization and the global sort, so the UTF-16-vs-code-point
+# divergence must hold there too (U+1D306 graph sorts before U+E000
+# graph in code units).
+case(
+    "astral-graph-iri",
+    '_:b0 <http://p/1> "v" <http://g/' + chr(0x1D306) + '> .\n'
+    '_:b0 <http://p/1> "v" <http://g/' + chr(0xE000) + '> .\n'
+    '_:b0 <http://p/1> "v" <http://g/a> .\n'
+    "_:b0 <http://p/2> _:b1 .\n"
+    '_:b1 <http://p/1> "w" <http://g/' + chr(0x1F600) + '> .\n',
+    max_work_factor=3,
+)
+# Lone-surrogate UCHAR escapes inside a graph IRI (same Node-lossy
+# semantics as the literal cases, now on the graph term).
+case(
+    "lone-surrogate-graph-iri",
+    '_:b0 <http://p/1> "v" <http://g/x' + chr(92) + 'uD800y> .\n'
+    '_:b0 <http://p/1> "v" <http://g/x' + chr(92) + 'uDC00y> .\n'
+    "_:b0 <http://p/2> _:b1 .\n"
+    '_:b1 <http://p/1> "v" <http://g/x> .\n',
+    max_work_factor=3,
+)
 case(
     "crlf-endings",
     "<http://ex/s> <http://ex/p> <http://ex/o> .\r\n"
@@ -272,6 +296,18 @@ NEGATIVE = {
     "bad-literal-subject": '"lit" <http://ex/p> <http://ex/o> .\n',
     "bad-second-line": "<http://ex/s> <http://ex/p> <http://ex/o> .\nnope\n",
     "bad-comment": "# comment lines are not in the reference grammar\n",
+    # The reference grammar's PN_CHARS_BASE deliberately OMITS the
+    # astral range U+10000-U+EFFFF (lib/NQuads.js:35-36 TODO), so
+    # astral blank-node labels are negative parses in BOTH engines --
+    # these pin that grammar-bug parity (a spec-complete parser would
+    # accept them and silently diverge).
+    "astral-bnode-label": (
+        "_:b" + chr(0xF900) + " <http://p/1> _:b" + chr(0x10000)
+        + " .\n"
+    ),
+    "astral-blank-graph-label": (
+        '_:s <http://p/1> "v" _:g' + chr(0x10000) + " .\n"
+    ),
 }
 
 
