@@ -55,7 +55,6 @@ def run_headline(spark, sf_dir):
         "relabel_quads",
         "canonical_document",
         "canonize_rdfc10",
-        "canonize_hybrid",
         "lineitem_pricing_summary",
         "orders_customer_join",
         "events_hourly",
@@ -71,7 +70,12 @@ def run_headline(spark, sf_dir):
         t0 = time.time()
         force(fn(spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
-    return timings
+    # hybrid router timed SEPARATELY: the 13-query headline total is
+    # the cross-round comparable metric (BASELINE.md defines it)
+    t0 = time.time()
+    force(qs["canonize_hybrid"](spark, sf_dir))
+    hybrid_sec = round(time.time() - t0, 3)
+    return timings, hybrid_sec
 
 
 SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_DOCS", "30000"))
@@ -130,9 +134,8 @@ def main():
         master=f"local[{CPUS}]",
         shuffle_partitions=CPUS,
     )
-    t_total0 = time.time()
-    timings = run_headline(spark, SF_DIR)
-    total = round(time.time() - t_total0, 3)
+    timings, hybrid_sec = run_headline(spark, SF_DIR)
+    total = round(sum(timings.values()), 3)
     spark.stop()
 
     result["metric"] = "headline query wall-clock at " + SF_DIR
@@ -160,7 +163,10 @@ def main():
         )
         n_urls = quads.select("url").distinct().count()
         n_fast = sql_eligible_urls(quads).count()
-        result["hybrid_fast_fraction"] = round(n_fast / max(n_urls, 1), 4)
+        result["hybrid"] = {
+            "fast_fraction": round(n_fast / max(n_urls, 1), 4),
+            "canonize_hybrid_sec": hybrid_sec,
+        }
     finally:
         spark.stop()
 
