@@ -70,6 +70,7 @@ def canonize(
     max_work_factor=1,
     max_deep_iterations=-1,
     timeout=0,
+    signal=None,
     reject_urdna2015=False,
 ):
     dataset = _input_to_dataset(input_data, input_format)
@@ -92,4 +93,5 @@ def canonize(
         max_work_factor=max_work_factor,
         max_deep_iterations=max_deep_iterations,
         timeout=timeout,
+        signal=signal,
     ).main(dataset)

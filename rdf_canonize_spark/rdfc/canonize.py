@@ -72,6 +72,11 @@ class MaxDeepIterationsError(RuntimeError):
     pass
 
 
+class CanonizeAbortError(RuntimeError):
+    """Cooperative cancellation (reference async `signal` option)."""
+    pass
+
+
 class CanonizeTimeoutError(RuntimeError):
     pass
 
@@ -87,6 +92,7 @@ class RDFC10:
         max_work_factor=1,
         max_deep_iterations=-1,
         timeout=0,
+        signal=None,
     ):
         self.name = "RDFC-1.0"
         self.blank_node_info = {}  # id -> {"quads": list, "hash": str|None}
@@ -102,6 +108,12 @@ class RDFC10:
         self.remaining_deep_iterations = 0
         self.timeout = timeout
         self.start_time = time.monotonic() if timeout and timeout > 0 else None
+        # AbortSignal analogue (async reference variant,
+        # lib/RDFC10.js:19,29,310-312): any object with ``aborted`` and
+        # ``reason`` attributes (or a zero-arg callable returning a
+        # reason / falsy).  Checked every 3 permutations, the same
+        # cadence as the timeout; exact reference error text.
+        self.signal = signal
         self.quads = None
         self.deep_iterations_used = 0
 
@@ -238,11 +250,13 @@ class RDFC10:
             while permuter.has_next():
                 permutation = permuter.next()
                 i += 1
-                if i % 3 == 0 and self.start_time is not None:
-                    if (
+                if i % 3 == 0:
+                    if self.start_time is not None and (
                         time.monotonic() - self.start_time
                     ) * 1000.0 > self.timeout:
                         raise CanonizeTimeoutError("Canonize timeout.")
+                    if self.signal is not None:
+                        self._check_signal()
 
                 issuer_copy = issuer.clone()
                 path = ""
@@ -286,6 +300,22 @@ class RDFC10:
         return md.digest(), issuer
 
     # --- helpers -------------------------------------------------------------
+    def _check_signal(self):
+        """Exact reference abort semantics (lib/RDFC10.js:310-312):
+        raise with the signal's reason once aborted."""
+        sig = self.signal
+        if callable(sig):
+            reason = sig()
+            if reason:
+                raise CanonizeAbortError(
+                    'Abort signal received: "%s".' % (reason,)
+                )
+        elif getattr(sig, "aborted", False):
+            raise CanonizeAbortError(
+                'Abort signal received: "%s".'
+                % (getattr(sig, "reason", None),)
+            )
+
     def _add_info(self, quad, component):
         if component[0] != BLANK:
             return

@@ -284,3 +284,67 @@ def test_dataset_duplicate_quad_set_semantics():
         "_:c14n0 <urn:p> _:c14n2 .\n"
         "_:c14n2 <urn:p> _:c14n1 .\n"
     )
+
+
+def test_abort_signal():
+    """Cooperative cancellation parity with the reference async
+    variant's `signal` option (lib/RDFC10.js:19,29,310-312): checked
+    every 3 permutations, exact error text 'Abort signal received:
+    "<reason>".' (verified against node with an aborted
+    AbortController; reason 'user-cancel' -> that exact message).
+    Accepts an AbortSignal-duck (aborted/reason) or a callable."""
+    from rdf_canonize_spark.rdfc.canonize import CanonizeAbortError
+
+    # the same 5-clique used in the node verification run
+    data = "".join(
+        f"_:v{a} <http://p/0> _:v{b} .\n"
+        for a in range(5) for b in range(5) if a != b
+    )
+
+    class Sig:
+        aborted = True
+        reason = "user-cancel"
+
+    with pytest.raises(CanonizeAbortError) as exc:
+        canonize(
+            data,
+            algorithm="RDFC-1.0",
+            input_format="application/n-quads",
+            max_work_factor=3,
+            signal=Sig(),
+        )
+    assert str(exc.value) == 'Abort signal received: "user-cancel".'
+
+    # callable form; and a non-aborted signal leaves the result intact
+    with pytest.raises(CanonizeAbortError):
+        canonize(
+            data,
+            algorithm="RDFC-1.0",
+            input_format="application/n-quads",
+            max_work_factor=3,
+            signal=lambda: "stop",
+        )
+
+    class Live:
+        aborted = False
+        reason = None
+
+    # a non-aborted signal leaves the result intact (twin-pairs graph
+    # that completes within the wf=3 budget)
+    twins = (
+        "_:b0 <http://p/0> _:b1 .\n_:b1 <http://p/0> _:b0 .\n"
+        "_:b2 <http://p/0> _:b3 .\n_:b3 <http://p/0> _:b2 .\n"
+    )
+    out = canonize(
+        twins,
+        algorithm="RDFC-1.0",
+        input_format="application/n-quads",
+        max_work_factor=3,
+        signal=Live(),
+    )
+    assert out == canonize(
+        twins,
+        algorithm="RDFC-1.0",
+        input_format="application/n-quads",
+        max_work_factor=3,
+    )
