@@ -630,6 +630,14 @@ def q_dedup_simhash(spark, sf_dir):
     return dedup.simhash(dedup.near_dup_corpus(spark, sf_dir))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """End-to-end near-dup clustering: LSH -> verify -> connected
+    components -> per-cluster keeper (DuckDB recursive-CTE oracle)."""
+    return dedup.dedup_clusters(
+        dedup.near_dup_corpus(spark, sf_dir), threshold=0.5
+    )
+
+
 def q_dedup_lsh_verified(spark, sf_dir):
     """Composed near-dup scale path: MinHash -> LSH band candidates ->
     exact Jaccard verification restricted to survivors (never a
@@ -653,6 +661,34 @@ def q_text_token_counts(spark, sf_dir):
 
 def q_text_fingerprint(spark, sf_dir):
     return textstats.fingerprint(_docs(spark, sf_dir))
+
+
+SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 0.1}
+MIX_QUOTAS = {"en": 40, "de": 25, "fr": 10, "es": 5}
+
+
+def q_docs_chunks(spark, sf_dir):
+    """Overlapping word-window chunking (context packing)."""
+    return textstats.chunk_documents(_docs(spark, sf_dir))
+
+
+def q_text_redact_pii(spark, sf_dir):
+    """Deterministic PII scrubbing with redaction counts."""
+    return textstats.redact_pii(_docs(spark, sf_dir))
+
+
+def q_docs_stratified_sample(spark, sf_dir):
+    """Per-language deterministic hash sampling (zero shuffle)."""
+    from rdf_canonize_spark.operators import sampling
+
+    return sampling.stratified_sample(_docs(spark, sf_dir), SAMPLE_RATES)
+
+
+def q_docs_source_mix(spark, sf_dir):
+    """Exact per-source quotas for dataset mixing (hash-order rank)."""
+    from rdf_canonize_spark.operators import sampling
+
+    return sampling.source_mix_quota(_docs(spark, sf_dir), MIX_QUOTAS)
 
 
 def q_ann_brute_force(spark, sf_dir):
@@ -688,11 +724,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_signatures": q_dedup_minhash_signatures,
         "dedup_lsh_candidates": q_dedup_lsh_candidates,
         "dedup_lsh_verified": q_dedup_lsh_verified,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "text_lang_id": q_text_lang_id,
         "text_quality": q_text_quality,
         "text_token_counts": q_text_token_counts,
         "text_fingerprint": q_text_fingerprint,
+        "docs_chunks": q_docs_chunks,
+        "text_redact_pii": q_text_redact_pii,
+        "docs_stratified_sample": q_docs_stratified_sample,
+        "docs_source_mix": q_docs_source_mix,
         "ann_brute_force_topk": q_ann_brute_force,
         "ann_ivf_topk": q_ann_ivf,
         "ann_lsh_topk": q_ann_lsh,
@@ -745,11 +786,16 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_signatures": oracle_ops.minhash_signatures(),
         "dedup_lsh_candidates": oracle_ops.lsh_candidates(),
         "dedup_lsh_verified": oracle_ops.lsh_verified_pairs(threshold=0.5),
+        "dedup_clusters": oracle_ops.dedup_clusters(threshold=0.5),
         "dedup_simhash": oracle_ops.simhash(),
         "text_lang_id": oracle_ops.lang_id(),
         "text_quality": oracle_ops.quality_score(),
         "text_token_counts": oracle_ops.token_counts(),
         "text_fingerprint": oracle_ops.fingerprint(),
+        "docs_chunks": oracle_ops.chunk_documents(),
+        "text_redact_pii": oracle_ops.redact_pii(),
+        "docs_stratified_sample": oracle_ops.stratified_sample(SAMPLE_RATES),
+        "docs_source_mix": oracle_ops.source_mix_quota(MIX_QUOTAS),
         "ann_brute_force_topk": oracle_ops.brute_force_topk(),
         "ann_ivf_topk": oracle_ops.ivf_topk(),
         "ann_lsh_topk": oracle_ops.lsh_ann_topk(),

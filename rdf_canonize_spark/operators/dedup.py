@@ -235,6 +235,32 @@ def lsh_candidates(corpus, n_hashes=N_MINHASH, bands=LSH_BANDS):
     )
 
 
+def dedup_clusters(corpus, threshold=0.5, n_hashes=N_MINHASH,
+                   bands=LSH_BANDS):
+    """End-to-end near-dup clustering, the operator a training-data
+    pipeline actually runs: MinHash -> LSH candidates -> exact-Jaccard
+    verification -> connected components over surviving pairs ->
+    (doc_id, keeper_id) where keeper = min doc id in the cluster.
+    Docs in no verified pair are implicitly their own keeper and are
+    not emitted (at corpus scale that is ~all rows; emitting them
+    would dwarf the actual dedup signal).
+
+    Scale shape: every stage is the bucketed/verified path (never an
+    all-pairs join), and the component step is one shuffle per round
+    over the tiny verified-pair edge list.
+    """
+    from .graph import connected_components
+
+    pairs = lsh_verified_pairs(corpus, threshold, n_hashes, bands)
+    comps = connected_components(
+        pairs.select("doc_a", "doc_b"), src="doc_a", dst="doc_b"
+    )
+    return comps.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("keeper_id"),
+    )
+
+
 _HEXDIGITS = "0123456789abcdef"
 SIMHASH_BITS = 16
 

@@ -144,6 +144,49 @@ WHERE CAST(c.n_common AS DOUBLE)
       / (sa.n_shingles + sb.n_shingles - c.n_common) >= {threshold}"""
 
 
+def dedup_clusters(threshold=0.5):
+    """Recursive-CTE transitive closure over the verified pair list;
+    keeper = MIN doc id reachable (exact equality with hash-min label
+    propagation, which is order-independent)."""
+    return f"""WITH RECURSIVE {CORPUS_CTE}, {SHINGLES_CTE}, {MINHASH_CTE},
+{BANDS_CTE},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS n_shingles FROM shingles GROUP BY doc_id
+),
+common AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN shingles sa ON sa.doc_id = c.doc_a
+  JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+vpairs AS (
+  SELECT c.doc_a, c.doc_b
+  FROM common c
+  JOIN sizes sa ON c.doc_a = sa.doc_id
+  JOIN sizes sb ON c.doc_b = sb.doc_id
+  WHERE CAST(c.n_common AS DOUBLE)
+        / (sa.n_shingles + sb.n_shingles - c.n_common) >= {threshold}
+),
+und AS (
+  SELECT doc_a AS a, doc_b AS b FROM vpairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM vpairs
+),
+reach(a, b) AS (
+  SELECT a, a FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+)
+SELECT a AS doc_id, MIN(b) AS keeper_id FROM reach GROUP BY a"""
+
+
 def simhash():
     sums = []
     for j in range(SIMHASH_BITS):
@@ -271,6 +314,79 @@ SELECT url,
   sha256(html_str) AS media_sha256,
   'stubbed' AS decode_status
 FROM pages"""
+
+
+def chunk_documents():
+    from .textstats import CHUNK_SIZE, CHUNK_STRIDE
+
+    return f"""WITH docw AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+e AS (
+  SELECT doc_id, words,
+    unnest(range(0, greatest(len(words) - 1, 0) + 1, {CHUNK_STRIDE}))
+      AS start
+  FROM docw
+)
+SELECT doc_id,
+  CAST(start // {CHUNK_STRIDE} AS INT) AS chunk_idx,
+  array_to_string(
+    words[CAST(start + 1 AS INT):CAST(start + {CHUNK_SIZE} AS INT)],
+    ' ') AS chunk_text,
+  CAST(len(
+    words[CAST(start + 1 AS INT):CAST(start + {CHUNK_SIZE} AS INT)]
+  ) AS INT) AS n_chunk_words
+FROM e"""
+
+
+def redact_pii():
+    from .textstats import EMAIL_PATTERN, LONGNUM_PATTERN
+
+    return f"""SELECT doc_id,
+  regexp_replace(
+    regexp_replace(text, '{EMAIL_PATTERN}', '<EMAIL>', 'g'),
+    '{LONGNUM_PATTERN}', '<NUM>', 'g') AS redacted_text,
+  CAST(len(regexp_extract_all(text, '{EMAIL_PATTERN}')) AS INT)
+    AS n_emails,
+  CAST(len(regexp_extract_all(
+    regexp_replace(text, '{EMAIL_PATTERN}', '<EMAIL>', 'g'),
+    '{LONGNUM_PATTERN}')) AS INT) AS n_longnums
+FROM documents"""
+
+
+def stratified_sample(rates):
+    from .sampling import rate_threshold
+
+    case = "CASE " + " ".join(
+        f"WHEN lang = '{s}' THEN '{rate_threshold(r)}'"
+        for s, r in sorted(rates.items())
+    ) + " ELSE NULL END"
+    return f"""WITH t AS (
+  SELECT doc_id, lang AS stratum,
+    substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS bucket,
+    {case} AS thr
+  FROM documents
+)
+SELECT doc_id, stratum, bucket FROM t
+WHERE thr IS NOT NULL AND bucket < thr"""
+
+
+def source_mix_quota(quotas):
+    case = "CASE " + " ".join(
+        f"WHEN lang = '{s}' THEN {int(q)}"
+        for s, q in sorted(quotas.items())
+    ) + " ELSE NULL END"
+    return f"""WITH t AS (
+  SELECT doc_id, lang,
+    CAST(ROW_NUMBER() OVER (
+      PARTITION BY lang
+      ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+    ) AS INT) AS mix_rank,
+    {case} AS quota
+  FROM documents
+)
+SELECT doc_id, lang AS stratum, mix_rank FROM t
+WHERE quota IS NOT NULL AND mix_rank <= quota"""
 
 
 # --- similarity -----------------------------------------------------------------

@@ -1,0 +1,81 @@
+"""Deterministic sampling / dataset-mixing operators.
+
+A training-data pipeline re-samples and re-weights sources constantly;
+at 100 TB the sample must be (a) deterministic under repartitioning
+and re-runs, (b) a narrow map or a bounded window -- never a global
+sort or a random() that breaks reproducibility.  Both operators key on
+md5(doc_id) -- engine-portable (identical lowercase hex in Spark and
+DuckDB, CLAUDE.md parity recipes) and uniform, so rates hold per
+stratum.
+
+* ``stratified_sample`` -- per-stratum Bernoulli sampling with a
+  deterministic hash threshold: keep iff the first 8 hex chars of
+  md5(doc_id) compare below the rate's zero-padded hex threshold
+  (string comparison == numeric comparison on fixed-width hex).
+  Zero-shuffle: pure filter, pushdown-friendly.
+* ``source_mix_quota`` -- exact per-source quotas (dataset mixing):
+  rank docs within each stratum by (md5, doc_id) and keep the first
+  ``quota[stratum]``.  One shuffle (the stratum window); the rank
+  order is the hash order, i.e. a deterministic shuffle of each
+  stratum, so the quota takes a uniform sample, not a prefix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+
+def rate_threshold(rate):
+    """rate in [0,1] -> 8-hex-char threshold, zero-padded."""
+    n = max(0, min(int(round(rate * 16 ** 8)), 16 ** 8 - 1))
+    return format(n, "08x")
+
+
+def _bucket(col="doc_id"):
+    return F.substring(F.md5(F.col(col).cast("string")), 1, 8)
+
+
+def stratified_sample(docs, rates, stratum_col="lang"):
+    """``rates``: dict stratum -> rate; strata absent from the dict
+    are dropped.  Output keeps (doc_id, stratum, bucket) for
+    auditability."""
+    # CASE chain built in deterministic key order
+    thr = F.lit(None).cast("string")
+    for stratum, rate in sorted(rates.items(), reverse=True):
+        thr = F.when(
+            F.col(stratum_col) == stratum, F.lit(rate_threshold(rate))
+        ).otherwise(thr)
+    b = _bucket()
+    return (
+        docs.select(
+            "doc_id", F.col(stratum_col).alias("stratum"),
+            b.alias("bucket"), thr.alias("thr"),
+        )
+        .filter(F.col("thr").isNotNull() & (F.col("bucket") < F.col("thr")))
+        .drop("thr")
+    )
+
+
+def source_mix_quota(docs, quotas, stratum_col="lang"):
+    """``quotas``: dict stratum -> exact row quota.  Output
+    (doc_id, stratum, mix_rank) with mix_rank <= quota[stratum]."""
+    q = F.lit(None).cast("int")
+    for stratum, quota in sorted(quotas.items(), reverse=True):
+        q = F.when(
+            F.col(stratum_col) == stratum, F.lit(int(quota))
+        ).otherwise(q)
+    w = Window.partitionBy(stratum_col).orderBy(
+        _bucket(), F.col("doc_id")
+    )
+    return (
+        docs.select(
+            "doc_id", F.col(stratum_col),
+            F.row_number().over(w).alias("mix_rank"), q.alias("quota"),
+        )
+        .filter(F.col("quota").isNotNull()
+                & (F.col("mix_rank") <= F.col("quota")))
+        .select(
+            "doc_id", F.col(stratum_col).alias("stratum"), "mix_rank"
+        )
+    )

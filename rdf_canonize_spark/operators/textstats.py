@@ -145,3 +145,63 @@ def geo_mean_by_lang(docs_df):
         F.round(geo_mean("n_chars"), 6).alias("geo_chars"),
         n_rows("n_chars").alias("n_docs"),
     )
+
+
+CHUNK_SIZE = 40
+CHUNK_STRIDE = 30
+
+
+def chunk_documents(docs, chunk_size=CHUNK_SIZE, stride=CHUNK_STRIDE):
+    """Overlapping word-window chunking (context-window packing for
+    training): chunk i covers words [i*stride, i*stride+chunk_size).
+    Catalyst-only (sequence + explode + slice); at corpus scale the
+    explode is a narrow map with bounded (size/stride) amplification
+    and no shuffle."""
+    words = _words()
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size(words) - 1, F.lit(0)),
+        F.lit(stride),
+    )
+    e = docs.select(
+        "doc_id", words.alias("w"), F.explode(starts).alias("start")
+    )
+    chunk = F.slice(F.col("w"), F.col("start") + 1, F.lit(chunk_size))
+    return e.select(
+        "doc_id",
+        (F.col("start") / stride).cast("int").alias("chunk_idx"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+        F.size(chunk).alias("n_chunk_words"),
+    )
+
+
+# kept deliberately simple and identical across Java/RE2 dialects
+EMAIL_PATTERN = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+LONGNUM_PATTERN = "[0-9]{6,}"
+
+
+def redact_pii(docs):
+    """Deterministic PII scrubbing (training-data hygiene): emails and
+    long digit runs replaced with typed placeholders, with per-doc
+    redaction counts for lineage.  Zero-shuffle Catalyst regexp."""
+    n_emails = F.size(
+        F.regexp_extract_all("text", F.lit(EMAIL_PATTERN), 0)
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace("text", EMAIL_PATTERN, "<EMAIL>"),
+        LONGNUM_PATTERN,
+        "<NUM>",
+    )
+    n_nums = F.size(
+        F.regexp_extract_all(
+            F.regexp_replace("text", EMAIL_PATTERN, "<EMAIL>"),
+            F.lit(LONGNUM_PATTERN),
+            0,
+        )
+    )
+    return docs.select(
+        "doc_id",
+        redacted.alias("redacted_text"),
+        n_emails.alias("n_emails"),
+        n_nums.alias("n_longnums"),
+    )

@@ -409,3 +409,91 @@ def test_bucketed_join_no_shuffle(spark, tmp_path, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS t_li_b")
         spark.sql("DROP TABLE IF EXISTS t_ord_b")
+
+
+def test_dedup_clusters_planted_transitive(corpus):
+    """Every planted copy clusters with its base as keeper; docs that
+    have BOTH a near-copy and an exact copy (doc_id % 30 == 0) form
+    one transitive cluster of >= 3."""
+    from collections import Counter
+
+    got = {r["doc_id"]: r["keeper_id"]
+           for r in dedup.dedup_clusters(corpus, threshold=0.5).collect()}
+    base_ids = [
+        r["doc_id"]
+        for r in corpus.filter("doc_id < 1000000").select("doc_id").collect()
+    ]
+    for k in base_ids:
+        if k % 10 == 0:  # exact copy at +2000000: same cluster, and
+            # the keeper is never a planted copy (min id <= base)
+            assert got.get(k + 2000000) == got.get(k) is not None
+            assert got[k] <= k
+    sizes = Counter(got.values())
+    for k in base_ids:
+        if k % 30 == 0:  # near at +1M and exact at +2M -> one cluster
+            assert got.get(k + 1000000) == got.get(k + 2000000) == got[k]
+            assert sizes[got[k]] >= 3
+
+
+def test_chunking_covers_and_overlaps(spark):
+    from rdf_canonize_spark.operators.textstats import chunk_documents
+
+    words = [f"w{i}" for i in range(100)]
+    df = spark.createDataFrame(
+        [(1, " ".join(words)), (2, "short doc"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = {(r["doc_id"], r["chunk_idx"]): (r["chunk_text"],
+                                            r["n_chunk_words"])
+            for r in chunk_documents(df, chunk_size=40, stride=30).collect()}
+    # doc 1: starts 0,30,60,90 -> 4 chunks; full coverage + overlap
+    assert {i for (d, i) in rows if d == 1} == {0, 1, 2, 3}
+    assert rows[(1, 0)][0].split(" ") == words[0:40]
+    assert rows[(1, 1)][0].split(" ") == words[30:70]
+    assert rows[(1, 3)] == (" ".join(words[90:100]), 10)
+    # short + empty docs yield exactly one chunk
+    assert rows[(2, 0)] == ("short doc", 2)
+    assert rows[(3, 0)] == ("", 1)
+
+
+def test_redact_pii_planted(spark):
+    from rdf_canonize_spark.operators.textstats import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@ex-ample.org and phone 1234567 ok"),
+         (2, "clean text 123 short"),
+         (3, "two x@y.z a@b.c nums 999999999")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["redacted_text"], r["n_emails"],
+                         r["n_longnums"])
+           for r in redact_pii(df).collect()}
+    assert got[1] == ("mail <EMAIL> and phone <NUM> ok", 1, 1)
+    assert got[2] == ("clean text 123 short", 0, 0)
+    assert got[3] == ("two <EMAIL> <EMAIL> nums <NUM>", 2, 1)
+
+
+def test_sampling_deterministic_and_quota_exact(spark, sf_dir):
+    from rdf_canonize_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rates = {"en": 0.5, "de": 0.2}
+    s1 = {r["doc_id"] for r in
+          sampling.stratified_sample(docs, rates).collect()}
+    s2 = {r["doc_id"] for r in
+          sampling.stratified_sample(
+              docs.repartition(13), rates).collect()}
+    assert s1 == s2 and s1  # deterministic under repartitioning
+    # rate sanity: en stratum within a loose binomial envelope
+    n_en = docs.filter("lang = 'en'").count()
+    got_en = sampling.stratified_sample(docs, rates).filter(
+        "stratum = 'en'").count()
+    assert abs(got_en / n_en - 0.5) < 0.2
+    # quotas exact (strata large enough in the fixture corpus)
+    quotas = {"en": 7, "de": 3}
+    mix = sampling.source_mix_quota(docs, quotas).collect()
+    from collections import Counter
+    by = Counter(r["stratum"] for r in mix)
+    assert by == {"en": 7, "de": 3}
+    assert {r["mix_rank"] for r in mix if r["stratum"] == "en"} == set(
+        range(1, 8))
