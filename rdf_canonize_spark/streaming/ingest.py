@@ -232,3 +232,61 @@ def start_dedup_stream(spark, in_dir, out_dir, watermark="1 hour"):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_fetch_join_stream(spark, pages_dir, fetch_dir, out_dir,
+                            watermark="30 minutes",
+                            join_window="10 minutes"):
+    """Stream-stream INNER JOIN with watermarks + a time-range
+    condition: each crawled page joins the fetch-log record(s) for the
+    same url whose ``fetch_ts`` falls in
+    ``[warc_ts, warc_ts + join_window]``.
+
+    Both sides carry watermarks and the join predicate bounds the
+    event-time distance -- together they let Spark expire each side's
+    buffered state (an unconstrained stream-stream join keeps state
+    forever, the classic streaming footgun).  Append mode: a joined
+    row emits once both watermarks pass its window.
+    """
+    from pyspark.sql import functions as F
+
+    pages = (
+        stream_pages(spark, pages_dir)
+        .select("url", "warc_ts", "lang")
+        .withWatermark("warc_ts", watermark)
+        .alias("p")
+    )
+    fetches = (
+        spark.readStream.schema(
+            "url string, fetch_ts timestamp, status int"
+        )
+        .option("maxFilesPerTrigger", 4)
+        .parquet(fetch_dir)
+        .withWatermark("fetch_ts", watermark)
+        .alias("f")
+    )
+    joined = pages.join(
+        fetches,
+        F.expr(
+            "p.url = f.url AND "
+            f"f.fetch_ts BETWEEN p.warc_ts AND "
+            f"p.warc_ts + interval {join_window}"
+        ),
+    ).select(
+        F.col("p.url").alias("url"),
+        "warc_ts",
+        "lang",
+        "fetch_ts",
+        "status",
+    )
+    return (
+        joined.writeStream.format("parquet")
+        .option("path", os.path.join(out_dir, "fetch_join"))
+        .option(
+            "checkpointLocation",
+            os.path.join(out_dir, "_fetch_join_checkpoint"),
+        )
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -111,3 +111,53 @@ def test_streaming_watermark_windowed_agg(spark, tmp_path):
              and r["window_start"].minute <= 1]
     assert sum(r["n_pages"] for r in early) == 100
     assert {r["lang"] for r in early} == {"en", "de", "fr", "es"}
+
+
+def test_streaming_stream_stream_interval_join(spark, tmp_path):
+    """Stream-stream inner join with watermarks + time-range bound:
+    in-window fetch records join their page; a fetch outside the join
+    window for the same url never appears (the range condition, not
+    just the key, gates the join)."""
+    from pyspark.sql import functions as F
+
+    from rdf_canonize_spark.streaming.ingest import (
+        start_fetch_join_stream,
+    )
+
+    pages_dir = str(tmp_path / "pages_in")
+    fetch_dir = str(tmp_path / "fetch_in")
+    out_dir = str(tmp_path / "join_out")
+    pages = synthesize_pages(spark, 40)
+    pages.write.parquet(pages_dir)
+    base = pages.select("url", "warc_ts")
+    in_window = base.select(
+        "url",
+        (F.col("warc_ts") + F.expr("interval 2 minutes"))
+        .alias("fetch_ts"),
+        F.lit(200).alias("status"),
+    )
+    out_of_window = base.select(
+        "url",
+        (F.col("warc_ts") + F.expr("interval 1 day"))
+        .alias("fetch_ts"),
+        F.lit(503).alias("status"),
+    )
+    in_window.unionByName(out_of_window).write.parquet(fetch_dir)
+
+    q = start_fetch_join_stream(
+        spark, pages_dir, fetch_dir, out_dir,
+        watermark="30 minutes", join_window="10 minutes",
+    )
+    q.awaitTermination(timeout=300)
+    got = spark.read.parquet(f"{out_dir}/fetch_join")
+    rows = got.collect()
+    assert len(rows) == 40  # one in-window fetch per page
+    assert {r["status"] for r in rows} == {200}
+    assert got.select("url").distinct().count() == 40
+    # restart with no new files: exactly-once, nothing re-emitted
+    q2 = start_fetch_join_stream(
+        spark, pages_dir, fetch_dir, out_dir,
+        watermark="30 minutes", join_window="10 minutes",
+    )
+    q2.awaitTermination(timeout=300)
+    assert spark.read.parquet(f"{out_dir}/fetch_join").count() == 40
