@@ -296,14 +296,20 @@ def sql_canonize_documents(quads_df, fh=None):
     sort are byte-identical to the kernel's escaped UTF-16 forms.
     Byte-equality with the Arrow kernel is asserted in tests.
 
-    Output matches CANONICAL_SCHEMA minus ``input_hash`` (the hybrid
-    wrapper joins that on; kernel rows compute it in-kernel).
+    Output matches CANONICAL_SCHEMA exactly, ``input_hash`` included:
+    the per-row framing digest rides through the relabel join and the
+    hash folds into the SAME per-url aggregation as the canonical
+    document -- no separate groupBy+join (framing is injective on the
+    quad columns and the rollup collapses duplicate digests, so
+    computing it on deduped rows equals the raw-row definition).
 
     ``fh`` may be the FULL corpus's exact-hash table even when
     ``quads_df`` is the eligible subset: the per-url hash is a pure
     function of that url's quads, and the output joins restrict to
     ``quads_df``'s urls.
     """
+    from ..functions.framing import framed_line, input_hash_agg
+
     if fh is None:
         fh = bnode_first_degree_hash_exact(quads_df)
     w = Window.partitionBy("url").orderBy("first_degree_hash")
@@ -319,7 +325,9 @@ def sql_canonize_documents(quads_df, fh=None):
             F.collect_list(F.struct("bnode", "cid"))
         ).alias("label_map")
     )
-    q = dedup_quads(quads_df)
+    q = dedup_quads(quads_df).withColumn(
+        "qh", F.sha2(framed_line(), 256)
+    )
     j = q.join(id_map, "url", "left")
 
     def sub(kind_col, val_col):
@@ -339,6 +347,7 @@ def sql_canonize_documents(quads_df, fh=None):
         "o_lang",
         "g_kind",
         "g",
+        "qh",
     )
     lines = serialize_line(relabeled)
     # collect_set: raw-distinct rows that NORMALIZE to the same quad
@@ -354,6 +363,7 @@ def sql_canonize_documents(quads_df, fh=None):
             ),
         ).alias("nquads"),
         F.size(F.collect_set("nq_line")).alias("n_quads"),
+        input_hash_agg().alias("input_hash"),
     )
     out = per_url.join(id_map, "url", "left").select(
         "url",
@@ -363,6 +373,7 @@ def sql_canonize_documents(quads_df, fh=None):
             F.expr("map()").cast("map<string,string>"),
         ).alias("label_map"),
         F.col("n_quads").cast("int").alias("n_quads"),
+        "input_hash",
     )
     return out.select(
         "url",
@@ -373,6 +384,7 @@ def sql_canonize_documents(quads_df, fh=None):
         F.lit(0).cast("long").alias("deep_iterations"),
         F.sha2(F.col("nquads"), 256).alias("quads_hash"),
         F.lit(None).cast("string").alias("error"),
+        "input_hash",
     )
 
 

@@ -451,7 +451,6 @@ def hybrid_canonize_documents(quads_df, max_work_factor=3,
     holds for the slow branch with no extra exchange.
     """
     from ..operators import relational
-    from .incremental import input_quads_hash
 
     # the exact first-degree hash table feeds BOTH the routing
     # uniqueness check and the fast path's id issuance -- materialize
@@ -466,9 +465,7 @@ def hybrid_canonize_documents(quads_df, max_work_factor=3,
     fast_q = flagged.filter(F.col("__fast")).drop("__fast")
     slow_q = flagged.filter(F.col("__fast").isNull()).drop("__fast")
     cols = [f.name for f in CANONICAL_SCHEMA.fields]
-    fast = relational.sql_canonize_documents(fast_q, fh=fh).join(
-        input_quads_hash(fast_q), "url"
-    )
+    fast = relational.sql_canonize_documents(fast_q, fh=fh)
     slow = canonize_documents(
         slow_q, max_work_factor=max_work_factor, **kwargs
     )

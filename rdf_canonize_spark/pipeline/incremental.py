@@ -48,17 +48,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..functions.framing import framed_line, input_hash_agg
 from .canon_stage import canonize_documents
-
-_COLS = ["s_kind", "s", "p", "o_kind", "o",
-         "o_datatype", "o_lang", "g_kind", "g"]
-
-
-def _framed_field(c):
-    col = F.col(c).cast("string")
-    return F.when(col.isNull(), F.lit(chr(0))).otherwise(
-        F.concat(F.octet_length(col).cast("string"), F.lit(":"), col)
-    )
 
 
 def input_quads_hash(quads_df):
@@ -68,15 +59,10 @@ def input_quads_hash(quads_df):
     expensive kernel only runs on changed documents).  Byte-identical
     to the kernel-computed ``input_hash`` column -- parity is pinned by
     tests and by the ``canonize_incremental`` driver oracle."""
-    line = F.concat_ws(chr(31), *[_framed_field(c) for c in _COLS])
     return (
-        quads_df.select("url", F.sha2(line, 256).alias("qh"))
+        quads_df.select("url", F.sha2(framed_line(), 256).alias("qh"))
         .groupBy("url")
-        .agg(
-            F.sha2(
-                F.concat_ws("", F.sort_array(F.collect_set("qh"))), 256
-            ).alias("input_hash")
-        )
+        .agg(input_hash_agg().alias("input_hash"))
     )
 
 
