@@ -325,9 +325,11 @@ def sql_canonize_documents(quads_df, fh=None):
             F.collect_list(F.struct("bnode", "cid"))
         ).alias("label_map")
     )
-    q = dedup_quads(quads_df).withColumn(
-        "qh", F.sha2(framed_line(), 256)
-    )
+    # No explicit distinct: duplicate raw rows serialize to identical
+    # lines and frame to identical digests, and BOTH per-url
+    # aggregations below are set-collapsing -- the O2 dedup falls out
+    # of the aggregation for free (one fewer full-width shuffle).
+    q = quads_df.withColumn("qh", F.sha2(framed_line(), 256))
     j = q.join(id_map, "url", "left")
 
     def sub(kind_col, val_col):
