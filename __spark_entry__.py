@@ -586,6 +586,26 @@ def q_entity_components(spark, sf_dir):
     return connected_components(edges)
 
 
+def q_entity_pagerank(spark, sf_dir):
+    """PageRank over the directed entity graph (10 iterations, 0.85
+    damping, uniform dangling redistribution); oracle unrolls the same
+    iterations as chained SQL CTEs.  Output rounded at 6."""
+    from rdf_canonize_spark.operators.graph import pagerank
+
+    ent = "http://kg.example.org/entity/"
+    quads = _quads(spark, sf_dir)
+    edges = (
+        quads.filter(
+            (F.col("s_kind") == 0) & (F.col("o_kind") == 0)
+            & F.col("s").startswith(ent) & F.col("o").startswith(ent)
+        )
+        .select(F.col("s").alias("src"), F.col("o").alias("dst"))
+        .distinct()
+    )
+    pr = pagerank(edges, n_iter=10, damping=0.85)
+    return pr.select("node", F.round("rank", 6).alias("pagerank"))
+
+
 def q_entity_sharded_link(spark, sf_dir):
     """Dictionary join for above-broadcast-limit dimensions: gazetteer
     hash-sharded, each shard broadcast in turn — the fact side is
@@ -769,6 +789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": q_embedding_norms,
         "entity_sharded_link": q_entity_sharded_link,
         "entity_components": q_entity_components,
+        "entity_pagerank": q_entity_pagerank,
         "events_user_rolling": q_events_user_rolling,
         "text_word_udtf": q_text_word_udtf,
         "docs_geo_mean": q_docs_geo_mean,
@@ -994,6 +1015,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "entity_sharded_link": oracles.sharded_link(),
         "entity_components": oracles.entity_components(),
+        "entity_pagerank": oracles.entity_pagerank(),
         "events_user_rolling": """
             SELECT event_id, user_id,
                    ROUND(SUM(value) OVER (

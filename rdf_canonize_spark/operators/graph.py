@@ -75,3 +75,73 @@ def connected_components(edges_df, src="src", dst="dst", max_iter=25):
             f"diameter exceeds max_iter"
         )
     return labels.select("node", F.col("label").alias("component"))
+
+
+def pagerank(edges_df, src="src", dst="dst", n_iter=10, damping=0.85):
+    """PageRank over the directed graph of ``edges_df`` (duplicate
+    edges collapse), with uniform dangling-mass redistribution:
+
+        r'(v) = (1-d)/N + d * (sum_{u->v} r(u)/outdeg(u) + DM/N)
+
+    where DM is the total rank held by nodes with no out-edges.
+
+    Scale shape: one edge-keyed shuffle per iteration
+    (contribution join + dst aggregation), the dangling mass is a
+    1-row aggregate cross-joined back (never collected to the driver),
+    and ``localCheckpoint`` truncates the per-iteration lineage so the
+    DAG stays O(1) per round.  Ranks are floats; callers that need
+    engine-portable equality round the output (the driver oracle
+    unrolls the same iterations in SQL and rounds at 6).
+    """
+    e = (
+        edges_df.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    out_deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    ).localCheckpoint()
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(n_iter):
+        with_deg = ranks.join(out_deg, "node", "left")
+        dm = with_deg.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("deg").isNull(), F.col("rank"))),
+                F.lit(0.0),
+            ).alias("dm")
+        )
+        contribs = (
+            e.join(
+                with_deg.select(
+                    F.col("node").alias("src"),
+                    (F.col("rank") / F.col("deg")).alias("contrib"),
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("contrib").alias("in_contrib"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(dm)
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + damping
+                    * (
+                        F.coalesce("in_contrib", F.lit(0.0))
+                        + F.col("dm") / n
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

@@ -514,6 +514,72 @@ def sharded_link():
     """
 
 
+_ENT_EDGES = """
+    ent_edges AS (
+      SELECT DISTINCT s AS src, o AS dst FROM quads
+      WHERE s_kind = 0 AND o_kind = 0
+        AND s LIKE 'http://kg.example.org/entity/%'
+        AND o LIKE 'http://kg.example.org/entity/%'
+    )
+"""
+
+
+def entity_pagerank(n_iter=10, damping=0.85):
+    """PageRank with the iterations UNROLLED as chained CTEs (DuckDB's
+    recursive terms may reference the recursive CTE only once, which a
+    PageRank step cannot honor -- it reads the previous ranks for the
+    contribution join, the dangling mass, and the carry of isolated
+    nodes).  Arithmetic mirrors operators/graph.py::pagerank exactly;
+    output rounded at 6 per the float-parity recipes.  Base tables are
+    MATERIALIZED: DuckDB inlines plain CTEs, and 10 unrolled
+    iterations re-opening the parquet scan per reference exhausts the
+    file-descriptor limit."""
+    # literals as DOUBLE with Python repr so the IEEE arithmetic is
+    # bit-identical to the Spark side (bare 0.85 would be DECIMAL)
+    d = f"CAST({damping!r} AS DOUBLE)"
+    omd = f"CAST({(1.0 - damping)!r} AS DOUBLE)"
+    ent_edges_mat = _ENT_EDGES.replace(
+        "ent_edges AS (", "ent_edges AS MATERIALIZED ("
+    )
+    parts = [f"""WITH {QUADS_CTE}, {ent_edges_mat},
+pnodes AS MATERIALIZED (
+  SELECT src AS node FROM ent_edges
+  UNION
+  SELECT dst AS node FROM ent_edges
+),
+nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM pnodes),
+pdeg AS MATERIALIZED (
+  SELECT src AS node, COUNT(*) AS deg FROM ent_edges GROUP BY src
+),
+r0 AS (
+  SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM pnodes, nn
+)"""]
+    for i in range(1, n_iter + 1):
+        p = i - 1
+        parts.append(f""",
+dm{i} AS (
+  SELECT COALESCE(SUM(r.rank), 0.0) AS dm
+  FROM r{p} r LEFT JOIN pdeg d USING (node) WHERE d.node IS NULL
+),
+c{i} AS (
+  SELECT e.dst AS node, SUM(r.rank / d.deg) AS in_contrib
+  FROM ent_edges e
+  JOIN r{p} r ON e.src = r.node
+  JOIN pdeg d ON d.node = e.src
+  GROUP BY e.dst
+),
+r{i} AS (
+  SELECT n.node,
+    {omd} / nn.n
+      + {d} * (COALESCE(c.in_contrib, CAST(0.0 AS DOUBLE))
+               + dm.dm / nn.n) AS rank
+  FROM pnodes n LEFT JOIN c{i} c USING (node), dm{i} dm, nn
+)""")
+    parts.append(f"""
+SELECT node, round(rank, 6) AS pagerank FROM r{n_iter}""")
+    return "".join(parts)
+
+
 def entity_components():
     """Oracle for connected components: recursive CTE transitive
     closure + MIN -- exact equality with hash-min label propagation

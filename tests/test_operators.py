@@ -497,3 +497,25 @@ def test_sampling_deterministic_and_quota_exact(spark, sf_dir):
     assert by == {"en": 7, "de": 3}
     assert {r["mix_rank"] for r in mix if r["stratum"] == "en"} == set(
         range(1, 8))
+
+
+def test_pagerank_semantics(spark):
+    """Mass conservation (dangling redistribution), hub dominance, and
+    the symmetric-cycle closed form."""
+    from rdf_canonize_spark.operators.graph import pagerank
+
+    star = spark.createDataFrame(
+        [("a", "c"), ("b", "c")], "src string, dst string"
+    )
+    pr = {r["node"]: r["rank"]
+          for r in pagerank(star, n_iter=30).collect()}
+    assert abs(sum(pr.values()) - 1.0) < 1e-9
+    assert pr["c"] > pr["a"] == pr["b"]
+
+    cyc = spark.createDataFrame(
+        [("x", "y"), ("y", "x")], "src string, dst string"
+    )
+    pr2 = {r["node"]: r["rank"]
+           for r in pagerank(cyc, n_iter=5).collect()}
+    assert abs(pr2["x"] - 0.5) < 1e-12
+    assert abs(pr2["y"] - 0.5) < 1e-12
