@@ -737,6 +737,16 @@ def q_media_features(spark, sf_dir):
     )
 
 
+def q_media_frames(spark, sf_dir):
+    """Multimodal frame sampling: binary payload -> every-3rd
+    fixed-size frame, one row per frame through a single exploding
+    mapInPandas (decode stubbed; slicing/digests oracle-checked)."""
+    from rdf_canonize_spark.operators import multimodal
+
+    pages = pages_from_documents(spark, sf_dir)
+    return multimodal.sample_frames(multimodal.attach_media(pages))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact": q_dedup_exact,
@@ -758,6 +768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf,
         "ann_lsh_topk": q_ann_lsh,
         "media_features": q_media_features,
+        "media_frames": q_media_frames,
         "triples_extract": q_triples_extract,
         "dedup_quads": q_dedup_quads,
         "first_degree_hash": q_first_degree_hash,
@@ -821,6 +832,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": oracle_ops.ivf_topk(),
         "ann_lsh_topk": oracle_ops.lsh_ann_topk(),
         "media_features": oracle_ops.media_features(),
+        "media_frames": oracle_ops.media_frames(),
         "triples_extract": oracles.triples(),
         "dedup_quads": oracles.dedup(),
         "first_degree_hash": oracles.first_degree_hash(),

@@ -119,3 +119,66 @@ def extract_media_features(media_df):
             yield pd.DataFrame(out)
 
     return media_df.mapInPandas(run, MEDIA_SCHEMA)
+
+
+FRAME_SIZE = 256
+FRAME_EVERY = 3
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("frame_idx", IntegerType(), True),
+        StructField("frame_offset", IntegerType(), True),
+        StructField("frame_len", IntegerType(), True),
+        StructField("frame_sha256", StringType(), True),
+        StructField("decode_status", StringType(), True),
+    ]
+)
+
+
+def sample_frames(media_df, frame_size=FRAME_SIZE, every=FRAME_EVERY):
+    """Frame sampling for video-like payloads: slice the binary into
+    fixed-size frames, keep every ``every``-th, one OUTPUT ROW PER
+    SAMPLED FRAME -- the 1->n exploding batch shape (vs the 1:1
+    extractor above), still a single Arrow-batched ``mapInPandas``
+    with no shuffle.  The real frame decoder/resizer sits behind the
+    same stubbed gate as ``_decode_image``; the byte slicing, offsets,
+    and per-frame digests are real and oracle-checked.
+
+    Digest portability: the frame digest is sha256 of the frame's
+    LOWERCASE HEX representation (not the raw bytes) because the
+    sandbox DuckDB can neither slice nor hash BLOBs -- hex framing
+    keeps the oracle able to recompute every digest (it slices
+    ``lower(hex(payload))`` at doubled offsets).  Content-equality
+    semantics are identical (hexlify is injective)."""
+
+    def run(batches):
+        for pdf in batches:
+            out = {
+                "url": [], "frame_idx": [], "frame_offset": [],
+                "frame_len": [], "frame_sha256": [],
+                "decode_status": [],
+            }
+            for url, payload in zip(pdf["url"].tolist(),
+                                    pdf["media"].tolist()):
+                payload = bytes(payload) if payload is not None else b""
+                n_frames = -(-len(payload) // frame_size)
+                for idx in range(0, n_frames, every):
+                    off = idx * frame_size
+                    frame = payload[off: off + frame_size]
+                    try:
+                        _decode_image(frame)
+                        status = "decoded"
+                    except NotImplementedError:
+                        status = "stubbed"
+                    out["url"].append(url)
+                    out["frame_idx"].append(idx)
+                    out["frame_offset"].append(off)
+                    out["frame_len"].append(len(frame))
+                    out["frame_sha256"].append(
+                        hashlib.sha256(frame.hex().encode()).hexdigest()
+                    )
+                    out["decode_status"].append(status)
+            yield pd.DataFrame(out)
+
+    return media_df.mapInPandas(run, FRAME_SCHEMA)

@@ -389,6 +389,43 @@ SELECT doc_id, lang AS stratum, mix_rank FROM t
 WHERE quota IS NOT NULL AND mix_rank <= quota"""
 
 
+def media_frames():
+    """Frame-sampling oracle: rebuild the deterministic payload, slice
+    it with BLOB substring arithmetic, keep every 3rd frame."""
+    from ..operators.multimodal import FRAME_EVERY, FRAME_SIZE
+    from ..pipeline.pages import duckdb_statements_sql
+
+    stmts = duckdb_statements_sql("k")
+    return f"""WITH docs AS (
+  SELECT doc_id AS k, text AS base_text FROM documents
+),
+pages AS (
+  SELECT
+    'https://crawl.example.org/p/' || lpad(CAST(k AS VARCHAR), 12, '0')
+      AS url,
+    encode('<html><body><p>' || base_text || ' ' || {stmts}
+      || '</p></body></html>') AS payload
+  FROM docs
+),
+frames AS (
+  SELECT url, lower(hex(payload)) AS phex,
+    CAST(unnest(range(0,
+      CAST(ceil(octet_length(payload) / {FRAME_SIZE}.0) AS BIGINT),
+      {FRAME_EVERY})) AS INT) AS frame_idx
+  FROM pages
+)
+SELECT url, frame_idx,
+  frame_idx * {FRAME_SIZE} AS frame_offset,
+  CAST(length(substring(
+    phex, frame_idx * {FRAME_SIZE} * 2 + 1, {FRAME_SIZE} * 2)) // 2
+    AS INT) AS frame_len,
+  sha256(substring(
+    phex, frame_idx * {FRAME_SIZE} * 2 + 1, {FRAME_SIZE} * 2))
+    AS frame_sha256,
+  'stubbed' AS decode_status
+FROM frames"""
+
+
 # --- similarity -----------------------------------------------------------------
 _EMB_CTE = f"""
 e AS (

@@ -519,3 +519,32 @@ def test_pagerank_semantics(spark):
            for r in pagerank(cyc, n_iter=5).collect()}
     assert abs(pr2["x"] - 0.5) < 1e-12
     assert abs(pr2["y"] - 0.5) < 1e-12
+
+
+def test_sample_frames_slicing_exact(spark):
+    """Frame sampling slices bytes exactly: offsets, lengths (short
+    tail frame), sampled indices, and digests over known payloads."""
+    import hashlib
+
+    from rdf_canonize_spark.operators.multimodal import sample_frames
+
+    payload = bytes(range(256)) * 4 + b"tail"  # 1028 bytes -> 5 frames
+    df = spark.createDataFrame(
+        [("u:1", bytearray(payload), "video/fake")],
+        "url string, media binary, media_type string",
+    )
+    rows = {r["frame_idx"]: r
+            for r in sample_frames(df, frame_size=256, every=3).collect()}
+    assert set(rows) == {0, 3}  # frames 0..4 sampled every 3rd
+    assert rows[0]["frame_offset"] == 0 and rows[0]["frame_len"] == 256
+    assert rows[3]["frame_offset"] == 768 and rows[3]["frame_len"] == 256
+    exp0 = hashlib.sha256(payload[:256].hex().encode()).hexdigest()
+    assert rows[0]["frame_sha256"] == exp0
+    assert all(r["decode_status"] == "stubbed" for r in rows.values())
+    # tail-only payload: one short frame
+    short = spark.createDataFrame(
+        [("u:2", bytearray(b"xyz"), "video/fake")],
+        "url string, media binary, media_type string",
+    )
+    (r,) = sample_frames(short, frame_size=256, every=3).collect()
+    assert (r["frame_idx"], r["frame_len"]) == (0, 3)
