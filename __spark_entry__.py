@@ -723,6 +723,12 @@ def q_ann_lsh(spark, sf_dir):
     return similarity.lsh_ann_topk(spark, sf_dir)
 
 
+def q_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via LSH buckets + exact cosine
+    verification (the dedup-flavored ANN variant)."""
+    return similarity.embedding_near_dup_pairs(spark, sf_dir)
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: binary payloads -> Arrow-batched feature
     extraction (decode stubbed; metadata columns oracle-checked)."""
@@ -767,6 +773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_force_topk": q_ann_brute_force,
         "ann_ivf_topk": q_ann_ivf,
         "ann_lsh_topk": q_ann_lsh,
+        "embedding_near_dups": q_embedding_near_dups,
         "media_features": q_media_features,
         "media_frames": q_media_frames,
         "triples_extract": q_triples_extract,
@@ -831,6 +838,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_brute_force_topk": oracle_ops.brute_force_topk(),
         "ann_ivf_topk": oracle_ops.ivf_topk(),
         "ann_lsh_topk": oracle_ops.lsh_ann_topk(),
+        "embedding_near_dups": oracle_ops.embedding_near_dup_pairs(),
         "media_features": oracle_ops.media_features(),
         "media_frames": oracle_ops.media_frames(),
         "triples_extract": oracles.triples(),

@@ -525,6 +525,35 @@ SELECT query_id, vec_id, round(cosine, 6) AS cosine, rank
 FROM ranked WHERE rank <= {TOP_K}"""
 
 
+def embedding_near_dup_pairs(threshold=0.2):
+    planes = _hyperplanes()
+
+    def bucket(v):
+        bits = []
+        for row in planes:
+            lit = "[" + ", ".join(str(x) for x in row) + "]"
+            bits.append(
+                f"(CASE WHEN list_dot_product({v}, "
+                f"CAST({lit} AS DOUBLE[])) >= 0 "
+                f"THEN '1' ELSE '0' END)"
+            )
+        return " || ".join(bits)
+
+    return f"""WITH {_EMB_CTE},
+ed AS (SELECT * FROM e WHERE len(v) = {EMB_DIM}),
+eb AS (SELECT vec_id, v, {bucket('v')} AS bucket FROM ed),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    list_dot_product(a.v, b.v) /
+      (sqrt(list_dot_product(a.v, a.v)) *
+       sqrt(list_dot_product(b.v, b.v))) AS cosine
+  FROM eb a JOIN eb b ON a.bucket = b.bucket
+  WHERE a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, round(cosine, 6) AS cosine
+FROM pairs WHERE cosine >= {threshold}"""
+
+
 def lsh_ann_topk():
     planes = _hyperplanes()
     def bucket(v):

@@ -188,6 +188,35 @@ def _bucket_expr(vcol):
     return F.concat(*bits)
 
 
+def embedding_near_dup_pairs(spark, sf_dir, threshold=0.2):
+    """Embedding-cosine near-duplicate PAIRS (the dedup-flavored
+    variant of ANN): all pairs sharing a hyperplane-LSH bucket with
+    cosine >= threshold.  The bucket equi-join replaces the quadratic
+    all-pairs comparison -- same 100 TB shape as the MinHash LSH text
+    path, with the exact cosine verification restricted to bucket
+    cohabitants."""
+    emb = (
+        _load(spark, sf_dir)
+        .filter(F.size("v") == EMB_DIM)
+        .withColumn("bucket", _bucket_expr("v"))
+    )
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "bucket"
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "bucket"
+    )
+    pairs = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
+    scored = pairs.withColumn(
+        "cosine",
+        _dot(F.col("va"), F.col("vb"))
+        / (_norm(F.col("va")) * _norm(F.col("vb"))),
+    ).filter(F.col("cosine") >= threshold)
+    return scored.select(
+        "vec_a", "vec_b", F.round("cosine", 6).alias("cosine")
+    )
+
+
 def lsh_ann_topk(spark, sf_dir, k=TOP_K, n_queries=N_QUERIES):
     """ANN via random-hyperplane buckets + exact rerank in-bucket.
 
