@@ -70,12 +70,7 @@ def run_headline(spark, sf_dir):
         t0 = time.time()
         force(fn(spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
-    # hybrid router timed SEPARATELY: the 13-query headline total is
-    # the cross-round comparable metric (BASELINE.md defines it)
-    t0 = time.time()
-    force(qs["canonize_hybrid"](spark, sf_dir))
-    hybrid_sec = round(time.time() - t0, 3)
-    return timings, hybrid_sec
+    return timings
 
 
 SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_DOCS", "30000"))
@@ -134,8 +129,19 @@ def main():
         master=f"local[{CPUS}]",
         shuffle_partitions=CPUS,
     )
-    timings, hybrid_sec = run_headline(spark, SF_DIR)
-    total = round(sum(timings.values()), 3)
+    # wall-clock around run_headline INCLUDING the warm-up force --
+    # the exact round-1 metric definition, kept so cross-round totals
+    # stay apples-to-apples
+    t_total0 = time.time()
+    timings = run_headline(spark, SF_DIR)
+    total = round(time.time() - t_total0, 3)
+    # hybrid router timed AFTER the comparable window (it's a round-2
+    # addition, reported separately)
+    import __spark_entry__ as entrymod
+
+    t0 = time.time()
+    force(entrymod.queries()["canonize_hybrid"](spark, SF_DIR))
+    hybrid_sec = round(time.time() - t0, 3)
     spark.stop()
 
     result["metric"] = "headline query wall-clock at " + SF_DIR

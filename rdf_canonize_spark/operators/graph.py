@@ -105,6 +105,8 @@ def pagerank(edges_df, src="src", dst="dst", n_iter=10, damping=0.85):
         .localCheckpoint()
     )
     n = nodes.count()
+    if n == 0:  # empty graph: empty (node, rank) result, no 1/0
+        return nodes.withColumn("rank", F.lit(0.0))
     out_deg = e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     ).localCheckpoint()

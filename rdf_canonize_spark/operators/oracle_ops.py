@@ -114,43 +114,12 @@ JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
 WHERE a.doc_id < b.doc_id"""
 
 
-def lsh_verified_pairs(threshold=0.5):
-    """Composed scale path: LSH band candidates -> exact Jaccard on
-    survivors only (mirrors dedup.lsh_verified_pairs)."""
-    return f"""WITH {CORPUS_CTE}, {SHINGLES_CTE}, {MINHASH_CTE}, {BANDS_CTE},
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a
-  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
-  WHERE a.doc_id < b.doc_id
-),
-sizes AS (
-  SELECT doc_id, COUNT(*) AS n_shingles FROM shingles GROUP BY doc_id
-),
-common AS (
-  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
-  FROM cand c
-  JOIN shingles sa ON sa.doc_id = c.doc_a
-  JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
-  GROUP BY c.doc_a, c.doc_b
-)
-SELECT c.doc_a, c.doc_b,
-       CAST(c.n_common AS DOUBLE)
-         / (sa.n_shingles + sb.n_shingles - c.n_common) AS jaccard
-FROM common c
-JOIN sizes sa ON c.doc_a = sa.doc_id
-JOIN sizes sb ON c.doc_b = sb.doc_id
-WHERE CAST(c.n_common AS DOUBLE)
-      / (sa.n_shingles + sb.n_shingles - c.n_common) >= {threshold}"""
-
-
-def dedup_clusters(threshold=0.5):
-    """Recursive-CTE transitive closure over the verified pair list;
-    keeper = MIN doc id reachable (exact equality with hash-min label
-    propagation, which is order-independent)."""
-    return f"""WITH RECURSIVE {CORPUS_CTE}, {SHINGLES_CTE}, {MINHASH_CTE},
-{BANDS_CTE},
-cand AS (
+def _vpairs_ctes(threshold):
+    """Shared CTE block: LSH band candidates -> exact Jaccard on
+    survivors only -> ``vpairs(doc_a, doc_b, jaccard)``.  ONE
+    definition so the lsh_verified and clustering oracles cannot
+    drift."""
+    return f"""cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a
   JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
@@ -167,13 +136,32 @@ common AS (
   GROUP BY c.doc_a, c.doc_b
 ),
 vpairs AS (
-  SELECT c.doc_a, c.doc_b
+  SELECT c.doc_a, c.doc_b,
+         CAST(c.n_common AS DOUBLE)
+           / (sa.n_shingles + sb.n_shingles - c.n_common) AS jaccard
   FROM common c
   JOIN sizes sa ON c.doc_a = sa.doc_id
   JOIN sizes sb ON c.doc_b = sb.doc_id
   WHERE CAST(c.n_common AS DOUBLE)
         / (sa.n_shingles + sb.n_shingles - c.n_common) >= {threshold}
-),
+)"""
+
+
+def lsh_verified_pairs(threshold=0.5):
+    """Composed scale path: LSH band candidates -> exact Jaccard on
+    survivors only (mirrors dedup.lsh_verified_pairs)."""
+    return f"""WITH {CORPUS_CTE}, {SHINGLES_CTE}, {MINHASH_CTE}, {BANDS_CTE},
+{_vpairs_ctes(threshold)}
+SELECT doc_a, doc_b, jaccard FROM vpairs"""
+
+
+def dedup_clusters(threshold=0.5):
+    """Recursive-CTE transitive closure over the verified pair list;
+    keeper = MIN doc id reachable (exact equality with hash-min label
+    propagation, which is order-independent)."""
+    return f"""WITH RECURSIVE {CORPUS_CTE}, {SHINGLES_CTE}, {MINHASH_CTE},
+{BANDS_CTE},
+{_vpairs_ctes(threshold)},
 und AS (
   SELECT doc_a AS a, doc_b AS b FROM vpairs
   UNION

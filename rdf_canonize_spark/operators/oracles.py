@@ -420,7 +420,9 @@ unsafe AS (
             OR COALESCE(o_lang, 'x') = ''
             OR regexp_matches(COALESCE(o_lang, ''), lit_p)
             OR regexp_matches(COALESCE(o_datatype, ''), iri_p)
-            OR COALESCE(o_datatype, '') = '{_XSD_STRING}'))
+            OR COALESCE(o_datatype, '') = '{_XSD_STRING}'
+            OR (o_lang IS NOT NULL
+                AND COALESCE(o_datatype, '') <> '{_LANGSTRING}')))
       OR regexp_matches(
            COALESCE(s, '') || COALESCE(p, '') || COALESCE(o, '')
            || COALESCE(o_datatype, '') || COALESCE(o_lang, ''), ast_p)

@@ -246,7 +246,14 @@ def _row_unsafe():
               # double-count lines in the relational exact-hash
               # aggregation -- route such docs to the kernel
               | (F.coalesce(F.col("o_datatype"), F.lit(""))
-                 == "http://www.w3.org/2001/XMLSchema#string")))
+                 == "http://www.w3.org/2001/XMLSchema#string")
+              # a language tag WITHOUT rdf:langString datatype: the
+              # kernel normalizes null datatype to xsd:string and its
+              # serializer then DROPS the tag, while serialize_line
+              # would keep it -- byte divergence, route to the kernel
+              | (F.col("o_lang").isNotNull()
+                 & (F.coalesce(F.col("o_datatype"), F.lit(""))
+                    != "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"))))
         | astral
     )
 

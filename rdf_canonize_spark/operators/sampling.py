@@ -27,7 +27,12 @@ from pyspark.sql import functions as F
 
 
 def rate_threshold(rate):
-    """rate in [0,1] -> 8-hex-char threshold, zero-padded."""
+    """rate in [0,1] -> 8-hex-char threshold, zero-padded.  rate >= 1
+    returns 'g' (lexicographically above every hex bucket) so a full
+    sample keeps ALL rows -- clamping to 'ffffffff' exclusive would
+    silently drop docs whose bucket is exactly ffffffff."""
+    if rate >= 1.0:
+        return "g"
     n = max(0, min(int(round(rate * 16 ** 8)), 16 ** 8 - 1))
     return format(n, "08x")
 

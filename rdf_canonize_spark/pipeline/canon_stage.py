@@ -458,7 +458,12 @@ def hybrid_canonize_documents(quads_df, max_work_factor=3,
     fh = relational.bnode_first_degree_hash_exact(
         quads_df
     ).localCheckpoint()
-    eligible = relational.sql_eligible_urls(quads_df, fh=fh)
+    # both branches hang off the eligibility join -- checkpoint the
+    # slim url list so the safety/duplicate aggregations run once,
+    # not once per branch
+    eligible = relational.sql_eligible_urls(
+        quads_df, fh=fh
+    ).localCheckpoint()
     flagged = quads_df.join(
         eligible.withColumn("__fast", F.lit(True)), "url", "left"
     )

@@ -489,6 +489,9 @@ def test_sampling_deterministic_and_quota_exact(spark, sf_dir):
     got_en = sampling.stratified_sample(docs, rates).filter(
         "stratum = 'en'").count()
     assert abs(got_en / n_en - 0.5) < 0.2
+    # rate 1.0 keeps EVERY row of the stratum (no ffffffff edge drop)
+    full = sampling.stratified_sample(docs, {"en": 1.0})
+    assert full.count() == n_en
     # quotas exact (strata large enough in the fixture corpus)
     quotas = {"en": 7, "de": 3}
     mix = sampling.source_mix_quota(docs, quotas).collect()

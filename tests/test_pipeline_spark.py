@@ -377,6 +377,10 @@ def test_hybrid_router_byte_equals_kernel(spark, pages):
         # explicit xsd:string datatype (kernel normalizes it away)
         lit("u:xsd", "http://x.example/s", "v",
             dt="http://www.w3.org/2001/XMLSchema#string"),
+        # language tag WITHOUT rdf:langString datatype: the kernel
+        # normalizes null datatype to xsd:string and DROPS the tag,
+        # serialize_line would keep it -> kernel
+        lit("u:langnodt", "http://x.example/s", "v", lang="en"),
         # eligible: two bnodes with distinct structure -> fast path
         b("u:fast", "b0", "b1"),
         lit("u:fast", "http://x.example/s", "v", lang="en",
