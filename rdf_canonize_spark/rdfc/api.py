@@ -56,7 +56,9 @@ def _check_output_format(format=None):
     if format:
         if format == "application/n-quads":
             return
-        raise ValueError('Unknown output format: "%s".' % format)
+        raise ValueError(
+            'Unknown canonicalization output format: "%s".' % format
+        )
 
 
 def canonize(

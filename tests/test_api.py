@@ -55,7 +55,9 @@ def test_unknown_input_format():
 
 
 def test_unknown_output_format():
-    with pytest.raises(ValueError, match="Unknown output format"):
+    with pytest.raises(
+        ValueError, match="Unknown canonicalization output format"
+    ):
         canonize(
             SIMPLE,
             algorithm="RDFC-1.0",
@@ -348,3 +350,31 @@ def test_abort_signal():
         input_format="application/n-quads",
         max_work_factor=3,
     )
+
+
+def test_api_error_texts_match_reference():
+    """Exact error-string parity for every API validation path
+    (messages captured from the reference under node in-session)."""
+    cases = [
+        ("x", dict(algorithm="RDFC-1.0", input_format="bogus"),
+         'Unknown canonicalization input format: "bogus".'),
+        ("", dict(algorithm="RDFC-1.0",
+                  input_format="application/n-quads", format="bogus"),
+         'Unknown canonicalization output format: "bogus".'),
+        ("", dict(input_format="application/n-quads"),
+         "No RDF Dataset Canonicalization algorithm specified."),
+        ("", dict(algorithm="NOPE", input_format="application/n-quads"),
+         "Invalid RDF Dataset Canonicalization algorithm: NOPE"),
+        ("", dict(algorithm="URDNA2015",
+                  input_format="application/n-quads",
+                  reject_urdna2015=True),
+         "Invalid RDF Dataset Canonicalization algorithm: URDNA2015"),
+        ('_:b <u:p> "v" .',
+         dict(algorithm="RDFC-1.0", input_format="application/n-quads",
+              message_digest_algorithm="md5"),
+         'Unsupported algorithm "md5".'),
+    ]
+    for data, kw, want in cases:
+        with pytest.raises(Exception) as exc:
+            canonize(data, **kw)
+        assert str(exc.value) == want, kw
