@@ -711,6 +711,25 @@ def q_docs_source_mix(spark, sf_dir):
     return sampling.source_mix_quota(_docs(spark, sf_dir), MIX_QUOTAS)
 
 
+def q_docs_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: distinct shared word n-grams per
+    training doc vs a (broadcast) benchmark subset, plus the flag.
+    Benchmark set = every 50th document, so planted contamination is
+    guaranteed (those docs appear in both sets)."""
+    docs = _docs(spark, sf_dir)
+    return dedup.decontaminate(
+        docs, docs.filter(F.col("doc_id") % 50 == 0)
+    )
+
+
+def q_docs_pack_sequences(spark, sf_dir):
+    """Concat-then-chunk sequence packing into a 512-token budget over
+    8 deterministic hash shards."""
+    from rdf_canonize_spark.operators import sampling
+
+    return sampling.pack_sequences(_docs(spark, sf_dir))
+
+
 def q_ann_brute_force(spark, sf_dir):
     return similarity.brute_force_topk(spark, sf_dir)
 
@@ -770,6 +789,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_redact_pii": q_text_redact_pii,
         "docs_stratified_sample": q_docs_stratified_sample,
         "docs_source_mix": q_docs_source_mix,
+        "docs_decontaminate": q_docs_decontaminate,
+        "docs_pack_sequences": q_docs_pack_sequences,
         "ann_brute_force_topk": q_ann_brute_force,
         "ann_ivf_topk": q_ann_ivf,
         "ann_lsh_topk": q_ann_lsh,
@@ -835,6 +856,8 @@ def oracle_sql() -> dict[str, str]:
         "text_redact_pii": oracle_ops.redact_pii(),
         "docs_stratified_sample": oracle_ops.stratified_sample(SAMPLE_RATES),
         "docs_source_mix": oracle_ops.source_mix_quota(MIX_QUOTAS),
+        "docs_decontaminate": oracle_ops.decontaminate(),
+        "docs_pack_sequences": oracle_ops.pack_sequences(),
         "ann_brute_force_topk": oracle_ops.brute_force_topk(),
         "ann_ivf_topk": oracle_ops.ivf_topk(),
         "ann_lsh_topk": oracle_ops.lsh_ann_topk(),

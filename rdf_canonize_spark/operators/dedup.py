@@ -299,3 +299,37 @@ def simhash(corpus, bits=SIMHASH_BITS):
         ]
     )
     return acc.select("doc_id", bitstr.alias("simhash_bits"))
+
+
+DECONTAM_NGRAM = 6
+
+
+def decontaminate(train_docs, benchmark_docs, n=DECONTAM_NGRAM,
+                  min_hits=2):
+    """Benchmark decontamination: per training document, the number of
+    distinct word n-grams it shares with the benchmark set, and a
+    contamination flag at ``min_hits``.
+
+    Scale shape: the benchmark side is tiny by definition, so its
+    shingle set broadcasts; the train side is scanned once with the
+    shingle explode (bounded amplification) and one map-side-combinable
+    groupBy -- never a train x train comparison.
+    """
+    tr = word_shingles(train_docs, n)
+    bm = word_shingles(benchmark_docs, n).select("shingle").distinct()
+    hits = (
+        tr.join(F.broadcast(bm), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap_ngrams"))
+    )
+    return (
+        train_docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_overlap_ngrams", F.lit(0))
+            .cast("int").alias("n_overlap_ngrams"),
+            (F.coalesce("n_overlap_ngrams", F.lit(0)) >= min_hits)
+            .alias("is_contaminated"),
+        )
+    )

@@ -304,6 +304,71 @@ SELECT url,
 FROM pages"""
 
 
+def _doc_shingles(source_sql, n):
+    return f"""(
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id,
+      unnest(list_distinct(list_transform(
+        range(0, greatest(len(words) - {n}, 0) + 1),
+        i -> array_to_string(
+               words[CAST(i + 1 AS INT):CAST(i + {n} AS INT)], ' ')
+      ))) AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS words
+          FROM {source_sql})
+  ) WHERE length(shingle) > 0
+)"""
+
+
+def decontaminate(benchmark_mod=50, min_hits=2):
+    from .dedup import DECONTAM_NGRAM as n
+
+    return f"""WITH tr AS {_doc_shingles('documents', n)},
+bm AS (
+  SELECT DISTINCT shingle
+  FROM {_doc_shingles(f'(SELECT * FROM documents WHERE doc_id % {benchmark_mod} = 0)', n)} s
+),
+hits AS (
+  SELECT doc_id, COUNT(*) AS n FROM tr JOIN bm USING (shingle)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(COALESCE(h.n, 0) AS INT) AS n_overlap_ngrams,
+  COALESCE(h.n, 0) >= {min_hits} AS is_contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)"""
+
+
+def pack_sequences(budget=512, shards=8):
+    digit = "(strpos('0123456789abcdef', substr(h6, {i}, 1)) - 1)"
+    val = " + ".join(
+        f"{digit.format(i=i + 1)} * {16 ** (5 - i)}" for i in range(6)
+    )
+    return f"""WITH t AS (
+  SELECT doc_id,
+    len(string_split(text, ' ')) AS n_tokens,
+    substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS h6,
+    substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS bucket
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n_tokens, bucket,
+    CAST(({val}) % {shards} AS INT) AS shard
+  FROM t
+),
+c AS (
+  SELECT doc_id, shard, n_tokens, bucket,
+    SUM(n_tokens) OVER (
+      PARTITION BY shard ORDER BY bucket, doc_id
+      ROWS UNBOUNDED PRECEDING
+    ) AS cum
+  FROM s
+)
+SELECT doc_id, shard,
+  CAST(n_tokens AS INT) AS n_tokens,
+  CAST((cum - n_tokens) // {budget} AS INT) AS seq_id,
+  CAST((cum - n_tokens) % {budget} AS INT) AS seq_offset
+FROM c"""
+
+
 def chunk_documents():
     from .textstats import CHUNK_SIZE, CHUNK_STRIDE
 

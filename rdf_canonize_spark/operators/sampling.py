@@ -84,3 +84,45 @@ def source_mix_quota(docs, quotas, stratum_col="lang"):
             "doc_id", F.col(stratum_col).alias("stratum"), "mix_rank"
         )
     )
+
+
+def pack_sequences(docs, budget=512, shards=8, tokens_col=None):
+    """Concat-then-chunk sequence packing (training-batch assembly):
+    documents are deterministically ordered within ``shards`` hash
+    shards, token counts accumulate, and a document belongs to the
+    sequence where its text STARTS in the concatenated stream --
+    ``seq_id = floor((cumsum - n_tokens) / budget)``, the standard
+    LLM-pretraining packing semantics.
+
+    Deterministic under repartitioning (order = (md5 bucket, doc_id)
+    within shard) and one window shuffle total; shards bound the
+    window partitions so no single task sorts the corpus.
+    """
+    n_tokens = (
+        F.col(tokens_col) if tokens_col
+        else F.size(F.split(F.col("text"), " "))
+    )
+    shard = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6),
+               16, 10).cast("long"),
+        F.lit(shards),
+    ).cast("int")
+    d = docs.select(
+        "doc_id", shard.alias("shard"), n_tokens.alias("n_tokens"),
+        _bucket().alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("bucket", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return d.select(
+        "doc_id",
+        "shard",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.floor((cum - F.col("n_tokens")) / budget)
+        .cast("int").alias("seq_id"),
+        F.pmod(cum - F.col("n_tokens"), F.lit(budget))
+        .cast("int").alias("seq_offset"),
+    )

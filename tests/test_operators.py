@@ -551,3 +551,62 @@ def test_sample_frames_slicing_exact(spark):
     )
     (r,) = sample_frames(short, frame_size=256, every=3).collect()
     assert (r["frame_idx"], r["frame_len"]) == (0, 3)
+
+
+def test_decontaminate_planted_overlap(spark):
+    from rdf_canonize_spark.operators.dedup import decontaminate
+
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "totally different words here nothing shared at all"),
+         (3, "prefix alpha beta gamma delta epsilon zeta suffix")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_overlap_ngrams"], r["is_contaminated"])
+           for r in decontaminate(train, bench, n=6, min_hits=2).collect()}
+    # doc 1 IS the benchmark doc: all three 6-grams shared
+    assert got[1] == (3, True)
+    # doc 2 shares nothing
+    assert got[2] == (0, False)
+    # doc 3 contains one shared 6-gram (alpha..zeta)
+    assert got[3] == (1, False)
+
+
+def test_pack_sequences_semantics(spark, sf_dir):
+    from collections import defaultdict
+
+    from rdf_canonize_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    packed = sampling.pack_sequences(docs, budget=100, shards=4)
+    rows = packed.collect()
+    assert len(rows) == docs.count()
+    # reconstruct each shard's stream: offsets and seq ids must be the
+    # running concatenation semantics exactly
+    by_shard = defaultdict(list)
+    for r in rows:
+        by_shard[r["shard"]].append(r)
+    # recover order within shard via (seq_id, seq_offset) is ambiguous
+    # across budget boundaries, so re-sort by the operator's own sort
+    # key reconstructed here
+    import hashlib as hl
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: (
+            hl.md5(str(r["doc_id"]).encode()).hexdigest()[:8],
+            r["doc_id"],
+        ))
+        cum = 0
+        for r in rs:
+            assert r["seq_id"] == cum // 100
+            assert r["seq_offset"] == cum % 100
+            cum += r["n_tokens"]
+    # deterministic under repartitioning
+    again = {(r["doc_id"], r["shard"], r["seq_id"], r["seq_offset"])
+             for r in sampling.pack_sequences(
+                 docs.repartition(13), budget=100, shards=4).collect()}
+    assert again == {(r["doc_id"], r["shard"], r["seq_id"],
+                      r["seq_offset"]) for r in rows}
