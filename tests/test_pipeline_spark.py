@@ -456,3 +456,33 @@ def test_input_hash_kernel_relational_parity_and_framing(spark, pages):
               df, max_work_factor=3, strategy="repartition"
           ).collect()}
     assert kh == h
+
+
+def test_canonize_colocated_from_bucketed_storage(spark, tmp_path,
+                                                  pages):
+    """The zero-shuffle 'colocated' canonize contract also holds when
+    quads come back from a url-BUCKETED table (the resume-from-storage
+    path at scale: pay the bucketed write once, canonize shuffle-free
+    on every rerun): each url's rows land in exactly one bucket ->
+    one read partition, the plan stays exchange-free, and the output
+    is byte-identical to the kernel over the original lineage."""
+    from rdf_canonize_spark.pipeline.canon_stage import canonize_documents
+    from rdf_canonize_spark.pipeline.link import build_quads, gazetteer_df
+    from rdf_canonize_spark.plans import checks
+
+    quads = build_quads(pages, gazetteer_df(spark))
+    (quads.write.bucketBy(8, "url").sortBy("url")
+     .option("path", str(tmp_path / "quads_b"))
+     .saveAsTable("t_quads_b"))
+    try:
+        stored = spark.table("t_quads_b")
+        out = canonize_documents(stored, max_work_factor=3)
+        checks.assert_no_shuffle(out, "bucketed canonize")
+        a = {r["url"]: (r["quads_hash"], r["input_hash"])
+             for r in out.collect()}
+        b = {r["url"]: (r["quads_hash"], r["input_hash"])
+             for r in canonize_documents(
+                 quads, max_work_factor=3).collect()}
+        assert a == b and len(a) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_quads_b")
