@@ -748,6 +748,15 @@ def q_embedding_near_dups(spark, sf_dir):
     return similarity.embedding_near_dup_pairs(spark, sf_dir)
 
 
+def q_embedding_near_dups_banded(spark, sf_dir):
+    """Banded multi-table hyperplane LSH near-dups -- the bounded-
+    occupancy scale path: bits sized to the corpus, recall recovered
+    via OR-of-tables, exact cosine on candidate survivors only."""
+    return similarity.embedding_near_dup_pairs(
+        spark, sf_dir, threshold=0.2, n_tables=3, bits=6
+    )
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: binary payloads -> Arrow-batched feature
     extraction (decode stubbed; metadata columns oracle-checked)."""
@@ -795,6 +804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf,
         "ann_lsh_topk": q_ann_lsh,
         "embedding_near_dups": q_embedding_near_dups,
+        "embedding_near_dups_banded": q_embedding_near_dups_banded,
         "media_features": q_media_features,
         "media_frames": q_media_frames,
         "triples_extract": q_triples_extract,
@@ -862,6 +872,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": oracle_ops.ivf_topk(),
         "ann_lsh_topk": oracle_ops.lsh_ann_topk(),
         "embedding_near_dups": oracle_ops.embedding_near_dup_pairs(),
+        "embedding_near_dups_banded":
+            oracle_ops.embedding_near_dup_pairs_banded(
+                threshold=0.2, n_tables=3, bits=6
+            ),
         "media_features": oracle_ops.media_features(),
         "media_frames": oracle_ops.media_frames(),
         "triples_extract": oracles.triples(),

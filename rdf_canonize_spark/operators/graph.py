@@ -33,7 +33,16 @@ def connected_components(edges_df, src="src", dst="dst", max_iter=25):
     """(node, component) for the undirected graph of ``edges_df``;
     component = min node id (lexicographic for strings) in the
     component.  Isolated endpoints appear with themselves as component.
+
+    Convergence is detected by a zero-change round, so ``max_iter``
+    must be at least graph diameter + 1: labels stop changing after
+    ``diameter`` rounds and one further round observes that.
     """
+    if max_iter < 1:
+        raise ValueError(
+            "connected_components needs max_iter >= 1 (convergence "
+            "detection requires at least one propagation round)"
+        )
     e = edges_df.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     und = e.unionByName(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -68,11 +77,12 @@ def connected_components(edges_df, src="src", dst="dst", max_iter=25):
     if changed:
         # Falling through with unmerged labels would silently return
         # split components; surface it -- the caller can raise max_iter
-        # (rounds needed = graph diameter).
+        # (rounds needed = graph diameter + 1: the final round must
+        # observe zero changes).
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} "
-            f"rounds ({changed} labels still changing); the graph "
-            f"diameter exceeds max_iter"
+            f"rounds ({changed} labels still changing); needs "
+            f"max_iter >= graph diameter + 1"
         )
     return labels.select("node", F.col("label").alias("component"))
 
@@ -92,6 +102,15 @@ def pagerank(edges_df, src="src", dst="dst", n_iter=10, damping=0.85):
     DAG stays O(1) per round.  Ranks are floats; callers that need
     engine-portable equality round the output (the driver oracle
     unrolls the same iterations in SQL and rounds at 6).
+
+    Tolerance note: the per-node contribution SUM has engine- and
+    partition-order-dependent float summation order, while the oracle
+    sums in a fixed order.  ``round(rank, 6)`` absorbs the ~1e-16
+    relative drift in practice, but a sum landing exactly on a rounding
+    boundary can in principle differ in the last digit -- exact string
+    equality against the oracle is therefore a high-probability
+    contract, not a mathematical identity; epsilon comparison is the
+    robust form for external consumers.
     """
     e = (
         edges_df.select(F.col(src).alias("src"), F.col(dst).alias("dst"))

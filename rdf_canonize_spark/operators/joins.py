@@ -22,6 +22,21 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+# Spark accepts several aliases for the same join type; normalize so
+# callers using 'leftouter'/'left_outer' (legitimate Spark spellings)
+# aren't rejected by the inner/left safety allowlist.
+_HOW_ALIASES = {"inner": "inner", "left": "left", "leftouter": "left"}
+
+
+def _normalize_how(how, fn_name):
+    canonical = _HOW_ALIASES.get(str(how).lower().replace("_", ""))
+    if canonical is None:
+        raise ValueError(
+            f"{fn_name} supports inner/left joins only (replicated or "
+            f"sharded dim side breaks right/full): got {how!r}"
+        )
+    return canonical
+
 
 def _shard_class(col, n_shards):
     # xxhash64 of a null key is the seed (not null), but coalesce
@@ -36,11 +51,11 @@ def sharded_broadcast_join(fact_df, dim_df, key, n_shards=4, how="left"):
     the fact side, for dimensions above the broadcast threshold.
 
     Result is identical to ``fact_df.join(dim_df, key, how)`` for
-    ``how`` in ('inner', 'left'): the shard classes partition the key
-    space, so every matching pair lands in exactly one shard join.
+    ``how`` in ('inner', 'left' and its Spark aliases): the shard
+    classes partition the key space, so every matching pair lands in
+    exactly one shard join.
     """
-    if how not in ("inner", "left"):
-        raise ValueError("sharded_broadcast_join supports inner/left")
+    how = _normalize_how(how, "sharded_broadcast_join")
     parts = []
     for i in range(n_shards):
         f = fact_df.filter(_shard_class(F.col(key), n_shards) == i)
@@ -66,14 +81,13 @@ def salted_join(fact_df, dim_df, key, n_salts=16, how="inner"):
     x n_salts -- size n_salts from the heavy-hitter counts
     (operators/sketches.py), not a guess.
 
-    Only ``how`` in ('inner', 'left') is equivalent to the plain join:
-    for right/full joins the n_salts-times replicated dim side would
-    emit every unmatched dim row n_salts times -- silently wrong, so
-    rejected (same precondition sharded_broadcast_join enforces).
+    Only ``how`` in ('inner', 'left' incl. Spark's leftouter aliases)
+    is equivalent to the plain join: for right/full joins the
+    n_salts-times replicated dim side would emit every unmatched dim
+    row n_salts times -- silently wrong, so rejected (same
+    precondition sharded_broadcast_join enforces).
     """
-    if how not in ("inner", "left"):
-        raise ValueError("salted_join supports inner/left only "
-                         "(replicated dim side breaks right/full)")
+    how = _normalize_how(how, "salted_join")
     salt = F.pmod(
         F.xxhash64(*[F.col(c) for c in fact_df.columns]),
         F.lit(n_salts),

@@ -607,6 +607,53 @@ SELECT vec_a, vec_b, round(cosine, 6) AS cosine
 FROM pairs WHERE cosine >= {threshold}"""
 
 
+def embedding_near_dup_pairs_banded(threshold=0.2, n_tables=3, bits=6):
+    """Banded multi-table hyperplane LSH near-dups: candidates =
+    pairs colliding in ANY of ``n_tables`` ``bits``-wide tables
+    (seed = HYPERPLANE_SEED + t per table), verified by exact cosine.
+    Mirrors similarity.embedding_near_dup_pairs(n_tables=, bits=)."""
+    from .similarity import HYPERPLANE_SEED
+
+    def bucket(v, planes):
+        out = []
+        for row in planes:
+            lit = "[" + ", ".join(str(x) for x in row) + "]"
+            out.append(
+                f"(CASE WHEN list_dot_product({v}, "
+                f"CAST({lit} AS DOUBLE[])) >= 0 "
+                f"THEN '1' ELSE '0' END)"
+            )
+        return " || ".join(out)
+
+    table_selects = []
+    for t in range(n_tables):
+        planes = _hyperplanes(seed=HYPERPLANE_SEED + t, n=bits)
+        table_selects.append(
+            f"SELECT vec_id, {t} AS tbl, {bucket('v', planes)} AS bucket "
+            f"FROM ed"
+        )
+    buckets_sql = " UNION ALL ".join(table_selects)
+    return f"""WITH {_EMB_CTE},
+ed AS (SELECT * FROM e WHERE len(v) = {EMB_DIM}),
+bk AS ({buckets_sql}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket
+  WHERE a.vec_id < b.vec_id
+),
+pairs AS (
+  SELECT c.vec_a, c.vec_b,
+    list_dot_product(ea.v, eb.v) /
+      (sqrt(list_dot_product(ea.v, ea.v)) *
+       sqrt(list_dot_product(eb.v, eb.v))) AS cosine
+  FROM cand c
+  JOIN ed ea ON ea.vec_id = c.vec_a
+  JOIN ed eb ON eb.vec_id = c.vec_b
+)
+SELECT vec_a, vec_b, round(cosine, 6) AS cosine
+FROM pairs WHERE cosine >= {threshold}"""
+
+
 def lsh_ann_topk():
     planes = _hyperplanes()
     def bucket(v):

@@ -13,10 +13,21 @@
   them.  At 100 TB the candidate set is |Q| x nprobe x cell instead
   of |Q| x N, and the centroid table is tiny by definition, so it
   broadcasts.
-* ``lsh_ann_topk`` -- random-hyperplane LSH: 8 deterministic
+* ``lsh_ann_topk`` -- random-hyperplane LSH: deterministic
   pseudo-hyperplanes (seeded), sign pattern = bucket key, exact rerank
   within bucket.  Hyperplane components are literals, so the same
   buckets are SQL-derivable.
+
+Bucket-width scaling (the 100 TB contract): a FIXED bucket space makes
+the within-bucket pair join quadratic in N/2^bits as the corpus grows.
+Both hyperplane surfaces therefore take ``bits`` (bucket width) and
+``n_tables`` (banded multi-table OR, same shape as the MinHash
+``lsh_bands`` path) as parameters: at scale set
+``bits ~ log2(N / target_bucket_size)`` so expected occupancy stays
+constant, and raise ``n_tables`` to recover the recall each extra bit
+costs.  Exact-cosine verification always runs on the candidate
+survivors only.  ``tests/test_operators.py`` asserts occupancy stays
+bounded under a 10x corpus with log-scaled bits.
 """
 
 from __future__ import annotations
@@ -111,6 +122,9 @@ def _d2(a, b):
     return _dot(a, a) - 2 * _dot(a, b) + _dot(b, b)
 
 
+HYPERPLANE_SEED = 7
+
+
 def centroids(emb, stride=CENTROID_STRIDE, mod=CENTROID_MOD):
     """Deterministic sampled centroids (IVF training stand-in):
     every ``stride``-th corpus vector.  cell_id = the centroid's
@@ -142,11 +156,17 @@ def assign_cells(emb, cents):
 
 
 def ivf_topk(spark, sf_dir, k=TOP_K, n_queries=N_QUERIES,
-             nprobe=NPROBE):
-    """ANN via IVF-flat: computed Voronoi cells, nprobe-cell probe,
-    exact cosine rerank inside the probed cells."""
+             nprobe=NPROBE, centroids_df=None):
+    """ANN via IVF-flat: Voronoi cells, nprobe-cell probe, exact
+    cosine rerank inside the probed cells.
+
+    ``centroids_df``: a trained/sampled ``(cell_id, cv)`` centroid
+    table.  Pass one at real scale -- the default stride sample keeps
+    the oracle deterministic but grows K with N/stride, making the
+    broadcast assignment join O(N^2/stride); a trained table keeps K
+    fixed (and tiny) regardless of corpus size."""
     emb = _load(spark, sf_dir).filter(F.size("v") == EMB_DIM)
-    cents = centroids(emb)
+    cents = centroids_df if centroids_df is not None else centroids(emb)
     assigned = assign_cells(emb, cents)
     queries = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
@@ -174,40 +194,83 @@ def ivf_topk(spark, sf_dir, k=TOP_K, n_queries=N_QUERIES,
     return _topk(scored, k)
 
 
-def _bucket_expr(vcol):
-    """Sign pattern over the hyperplanes as a '01...' string."""
-    planes = _hyperplanes()
-    bits = []
+def _bucket_expr(vcol, bits=N_HYPERPLANES, seed=HYPERPLANE_SEED):
+    """Sign pattern over ``bits`` hyperplanes as a '01...' string."""
+    planes = _hyperplanes(seed=seed, n=bits)
+    out = []
     for row in planes:
         plane = F.array(*[F.lit(x).cast("double") for x in row])
-        bits.append(
+        out.append(
             F.when(_dot(F.col(vcol), plane) >= 0, F.lit("1")).otherwise(
                 F.lit("0")
             )
         )
-    return F.concat(*bits)
+    return F.concat(*out)
 
 
-def embedding_near_dup_pairs(spark, sf_dir, threshold=0.2):
+def hyperplane_buckets(emb, vcol="v", n_tables=1, bits=N_HYPERPLANES,
+                       base_seed=HYPERPLANE_SEED):
+    """(all input columns, table, bucket): one row per (vector,
+    table), bucket = the sign pattern under that table's hyperplane
+    set (seed = ``base_seed + table``, so table 0 with the defaults
+    reproduces the original single-table buckets).
+
+    This is the banded multi-table form (same OR-of-tables shape as
+    the MinHash ``lsh_bands`` path): each table is ``bits`` wide, so
+    expected occupancy is N / 2^bits per table, and a pair is a
+    candidate if it collides in ANY table.  Narrow projection -- the
+    bucketing is computed before any join, Catalyst-only."""
+    tables = [
+        F.struct(
+            F.lit(t).alias("table"),
+            _bucket_expr(vcol, bits=bits, seed=base_seed + t)
+            .alias("bucket"),
+        )
+        for t in range(n_tables)
+    ]
+    return emb.select(
+        "*", F.explode(F.array(*tables)).alias("__tb")
+    ).select("*", "__tb.table", "__tb.bucket").drop("__tb")
+
+
+def embedding_near_dup_candidates(emb, n_tables=1, bits=N_HYPERPLANES,
+                                  base_seed=HYPERPLANE_SEED):
+    """Distinct candidate (vec_a, vec_b) pairs colliding in >= 1
+    table.  Only (vec_id, table, bucket) crosses the join -- vectors
+    are joined back for verification afterwards, so the bucket join
+    stays narrow at scale."""
+    bk = hyperplane_buckets(
+        emb.select("vec_id", "v"), "v", n_tables, bits, base_seed
+    ).select("vec_id", "table", "bucket")
+    a = bk.select(F.col("vec_id").alias("vec_a"), "table", "bucket")
+    b = bk.select(F.col("vec_id").alias("vec_b"), "table", "bucket")
+    return (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+
+
+def embedding_near_dup_pairs(spark, sf_dir, threshold=0.2, n_tables=1,
+                             bits=N_HYPERPLANES):
     """Embedding-cosine near-duplicate PAIRS (the dedup-flavored
-    variant of ANN): all pairs sharing a hyperplane-LSH bucket with
-    cosine >= threshold.  The bucket equi-join replaces the quadratic
-    all-pairs comparison -- same 100 TB shape as the MinHash LSH text
-    path, with the exact cosine verification restricted to bucket
-    cohabitants."""
-    emb = (
-        _load(spark, sf_dir)
-        .filter(F.size("v") == EMB_DIM)
-        .withColumn("bucket", _bucket_expr("v"))
-    )
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "bucket"
-    )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "bucket"
-    )
-    pairs = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
-    scored = pairs.withColumn(
+    variant of ANN): all pairs sharing a hyperplane-LSH bucket in any
+    of ``n_tables`` tables, with cosine >= threshold.  The bucket
+    equi-join replaces the quadratic all-pairs comparison -- same
+    100 TB shape as the MinHash LSH text path, with the exact cosine
+    verification restricted to the candidate survivors.
+
+    At scale pick ``bits ~ log2(N / target_bucket_size)`` and recover
+    recall with more tables (see module docstring); the defaults
+    reproduce the original single-table 8-bit contract query."""
+    emb = _load(spark, sf_dir).filter(F.size("v") == EMB_DIM)
+    cand = embedding_near_dup_candidates(emb, n_tables, bits)
+    va = emb.select(F.col("vec_id").alias("vec_a"),
+                    F.col("v").alias("va"))
+    vb = emb.select(F.col("vec_id").alias("vec_b"),
+                    F.col("v").alias("vb"))
+    scored = cand.join(va, "vec_a").join(vb, "vec_b").withColumn(
         "cosine",
         _dot(F.col("va"), F.col("vb"))
         / (_norm(F.col("va")) * _norm(F.col("vb"))),
@@ -217,28 +280,41 @@ def embedding_near_dup_pairs(spark, sf_dir, threshold=0.2):
     )
 
 
-def lsh_ann_topk(spark, sf_dir, k=TOP_K, n_queries=N_QUERIES):
-    """ANN via random-hyperplane buckets + exact rerank in-bucket.
+def lsh_ann_topk(spark, sf_dir, k=TOP_K, n_queries=N_QUERIES,
+                 n_tables=1, bits=N_HYPERPLANES):
+    """ANN via random-hyperplane buckets + exact rerank in-bucket,
+    optionally over ``n_tables`` banded tables (candidates = corpus
+    vectors colliding with the query in ANY table; duplicates across
+    tables collapse before the rerank).
 
     The hyperplanes are EMB_DIM-dimensional; vectors of any other size
     are not indexable and are excluded (Spark's zip_with would silently
     null-pad, DuckDB errors -- both wrong)."""
-    emb = (
-        _load(spark, sf_dir)
-        .filter(F.size("v") == EMB_DIM)
-        .withColumn("bucket", _bucket_expr("v"))
+    emb = _load(spark, sf_dir).filter(F.size("v") == EMB_DIM)
+    bk = hyperplane_buckets(
+        emb.select("vec_id", "v"), "v", n_tables, bits
     )
-    queries = emb.filter(F.col("vec_id") < n_queries).select(
+    queries = bk.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
+        F.col("table").alias("qtable"),
         F.col("bucket").alias("qbucket"),
     )
-    pairs = emb.join(
-        F.broadcast(queries),
-        (F.col("bucket") == F.col("qbucket"))
-        & (F.col("vec_id") != F.col("query_id")),
+    cand = (
+        bk.select("vec_id", "table", "bucket")
+        .join(
+            F.broadcast(queries.drop("qv")),
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("table") == F.col("qtable"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "vec_id")
+        .distinct()  # collapse multi-table collisions (narrow ids only)
     )
-    scored = pairs.withColumn(
+    q_vecs = queries.select("query_id", "qv").distinct()
+    scored = cand.join(F.broadcast(q_vecs), "query_id").join(
+        emb.select("vec_id", "v"), "vec_id"
+    ).withColumn(
         "cosine",
         _dot(F.col("v"), F.col("qv"))
         / (_norm(F.col("v")) * _norm(F.col("qv"))),

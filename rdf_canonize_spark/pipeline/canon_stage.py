@@ -59,6 +59,16 @@ CANONICAL_SCHEMA = StructType(
 # prefixes make the framing prefix-free (a value containing chr(31) or
 # chr(0) cannot shift field boundaries), and hashing lines before the
 # order-independent aggregation removes cross-line ambiguity.
+#
+# PRECONDITION (framing contract): no lone UTF-16 surrogates in any
+# field.  This side measures length via utf-8/surrogatepass while the
+# relational twin uses octet_length; for well-formed strings the two
+# agree byte-for-byte, but a lone surrogate encodes 3 surrogatepass
+# bytes that octet_length cannot see, silently flipping incremental
+# rows to recomputed=true.  Unreachable from the parquet pipeline
+# (parquet text is well-formed UTF-8); dataset-input callers must
+# route/reject surrogate-bearing rows before relying on kernel <->
+# relational input-hash parity.
 _SEP = chr(31)
 _NULL = chr(0)
 
@@ -449,6 +459,16 @@ def hybrid_canonize_documents(quads_df, max_work_factor=3,
     either way (sort-merge partitions by url; a broadcast keeps the
     input's already-co-located layout), so the kernel's input contract
     holds for the slow branch with no extra exchange.
+
+    ``max_doc_quads`` (via kwargs) is applied AT ROUTING TIME: a
+    document over the cap is excluded from the fast path regardless of
+    hash uniqueness, so it hits the kernel's mega-document guard and
+    gets the same oversized-quarantine row ``canonize_documents``
+    emits -- the output contract is identical between the two
+    entrypoints for every input.  ``doc_timeout_ms`` applies to the
+    kernel branch only: sql-routed documents never enter n-degree
+    recursion (work is linear in quads and already bounded by the
+    quad cap), so a per-document timeout has nothing to bound there.
     """
     from ..operators import relational
 
@@ -461,9 +481,19 @@ def hybrid_canonize_documents(quads_df, max_work_factor=3,
     # both branches hang off the eligibility join -- checkpoint the
     # slim url list so the safety/duplicate aggregations run once,
     # not once per branch
-    eligible = relational.sql_eligible_urls(
-        quads_df, fh=fh
-    ).localCheckpoint()
+    eligible = relational.sql_eligible_urls(quads_df, fh=fh)
+    max_doc_quads = kwargs.get("max_doc_quads", 0)
+    if max_doc_quads:
+        # route oversized documents (pre-dedup row count, matching the
+        # kernel's memory-bound semantics) to the kernel's quarantine
+        oversized = (
+            quads_df.groupBy("url")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_doc_quads)
+            .select("url")
+        )
+        eligible = eligible.join(oversized, "url", "left_anti")
+    eligible = eligible.localCheckpoint()
     flagged = quads_df.join(
         eligible.withColumn("__fast", F.lit(True)), "url", "left"
     )

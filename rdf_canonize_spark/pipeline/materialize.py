@@ -134,30 +134,45 @@ def resume_filter(spark, pages_df, out_dir):
     return pages_df.join(done, "url", "left_anti")
 
 
+def _fs_for(spark, path):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+
+
 def write_batch(canonical_df, out_dir, batch_id, fmt="parquet",
                 nonempty_hint=None):
-    """Atomic batch write + manifest append.
+    """Stage-then-commit batch write + manifest append.
 
-    Spark's committer makes the per-batch directory atomic; the manifest
-    row is appended only after the data write succeeds, so a crash
-    between the two re-processes (idempotent overwrite), never skips.
+    The batch is written to ``batch=<id>.staging`` first; emptiness is
+    decided from the STAGED output (reading back parquet footers, not
+    re-running the pipeline), so the whole write costs exactly ONE
+    evaluation of the canonize plan -- no pre-probe scan.  An empty
+    result discards the staging directory, leaving any previously
+    completed ``batch=<id>`` data untouched (a fully-resumed batch has
+    an empty todo set; overwriting then would wipe completed data the
+    manifest still lists as done).  A non-empty result commits by
+    Hadoop-FileSystem rename over the old directory, then appends the
+    manifest; a crash between commit and manifest append re-processes
+    (idempotent overwrite), never skips.
 
-    ``nonempty_hint``: a fully-resumed batch has an empty todo set, and
-    overwriting then would wipe the completed batch's data while the
-    manifest still lists its urls as done (permanent loss).  Callers
-    that already know emptiness from a CHEAP frame (run_pipeline checks
-    the post-resume pages set) pass True/False and skip the guard; with
-    the default None the guard evaluates ``canonical_df.limit(1)``,
-    which runs the Arrow kernel for at least one partition -- safe but
-    double work on the normal path.
+    ``nonempty_hint=False`` short-circuits the write entirely for
+    callers that already know the batch is empty.
     """
     spark = canonical_df.sparkSession
     data_path = os.path.join(out_dir, "canonical_nquads", f"batch={batch_id}")
     if nonempty_hint is False:
         return
-    if nonempty_hint is None and canonical_df.limit(1).count() == 0:
+    staging = data_path + ".staging"
+    canonical_df.write.mode("overwrite").format(fmt).save(staging)
+    fs, staging_p = _fs_for(spark, staging)
+    if spark.read.format(fmt).load(staging).limit(1).count() == 0:
+        fs.delete(staging_p, True)
         return
-    canonical_df.write.mode("overwrite").format(fmt).save(data_path)
+    _, data_p = _fs_for(spark, data_path)
+    fs.delete(data_p, True)
+    if not fs.rename(staging_p, data_p):
+        raise IOError(f"commit rename failed: {staging} -> {data_path}")
     done_urls = spark.read.format(fmt).load(data_path).select("url")
     done_urls.withColumn("batch_id", F.lit(batch_id)).write.mode(
         "append"

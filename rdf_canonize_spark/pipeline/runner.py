@@ -50,13 +50,8 @@ def run_pipeline(
     }
     results["nodes"] = node_table(results["edges"])
     if out_dir:
-        # Emptiness (fully-resumed batch) is decided on the QUADS
-        # frame -- scan + extract, no Arrow kernel -- not on pages:
-        # pages can be non-empty while canonize output is empty (e.g.
-        # null-text pages emit zero quads), and a True hint then would
-        # let write_batch overwrite a completed batch with nothing.
-        # canonical is empty iff quads is empty (one output row per
-        # url that has quads).
-        nonempty = quads.limit(1).count() > 0
-        write_batch(canonical, out_dir, batch_id, nonempty_hint=nonempty)
+        # Emptiness (fully-resumed batch / all-null-text pages) is
+        # decided INSIDE write_batch from the staged output -- the
+        # pipeline evaluates exactly once, with no pre-probe scan.
+        write_batch(canonical, out_dir, batch_id)
     return results

@@ -179,6 +179,85 @@ def test_ann_variants_defining_properties(spark, sf_dir):
             assert abs(bf_cos[key] - r["cosine"]) < 1e-9
 
 
+def test_banded_hyperplane_lsh_semantics(spark, sf_dir):
+    """Banded multi-table hyperplane LSH: (1) table 0 reproduces the
+    original single-table buckets, so n_tables=1 keeps the contract
+    query unchanged; (2) the n-table candidate set equals the union of
+    the per-seed single-table candidate sets (OR-of-tables, the
+    MinHash-band shape); (3) verified output = candidates filtered by
+    exact cosine, so every banded result is a true near-dup pair."""
+    emb = similarity._load(spark, sf_dir).filter(
+        F.size("v") == similarity.EMB_DIM
+    )
+    pairs = lambda df: {(r["vec_a"], r["vec_b"]) for r in df.collect()}
+    banded = pairs(
+        similarity.embedding_near_dup_candidates(emb, n_tables=3, bits=6)
+    )
+    per_table = set()
+    for t in range(3):
+        per_table |= pairs(
+            similarity.embedding_near_dup_candidates(
+                emb, n_tables=1, bits=6,
+                base_seed=similarity.HYPERPLANE_SEED + t,
+            )
+        )
+    assert banded == per_table
+    # verified pairs ⊆ candidates, and each meets the threshold
+    verified = similarity.embedding_near_dup_pairs(
+        spark, sf_dir, threshold=0.2, n_tables=3, bits=6
+    ).collect()
+    assert {(r["vec_a"], r["vec_b"]) for r in verified} <= banded
+    assert all(r["cosine"] >= 0.2 for r in verified)
+    # multi-table candidates ⊇ single-table at the same width
+    single = pairs(
+        similarity.embedding_near_dup_candidates(emb, n_tables=1, bits=6)
+    )
+    assert single <= banded
+
+
+def test_hyperplane_bucket_occupancy_bounded_at_10x(spark):
+    """The scale contract: with bits ~ log2(N / target_occupancy),
+    bucket occupancy stays bounded when the corpus grows 10x -- the
+    within-bucket pair join cost per vector does NOT grow with N
+    (unlike a fixed-width bucket space, where it grows linearly)."""
+    import numpy as np
+
+    rng = np.random.default_rng(20260817)
+    dim = similarity.EMB_DIM
+    target = 64  # desired expected bucket occupancy
+
+    def occupancies(n, bits):
+        vecs = rng.standard_normal((n, dim))
+        pdf = __import__("pandas").DataFrame(
+            {"vec_id": range(n), "v": [list(map(float, v)) for v in vecs]}
+        )
+        df = spark.createDataFrame(pdf)
+        bk = similarity.hyperplane_buckets(df, "v", n_tables=1, bits=bits)
+        sizes = [
+            r["n"]
+            for r in bk.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        ]
+        return sizes
+
+    import math
+
+    n_small, n_big = 1500, 15000
+    bits_small = max(1, round(math.log2(n_small / target)))   # ~5
+    bits_big = max(1, round(math.log2(n_big / target)))       # ~8
+    occ_small = occupancies(n_small, bits_small)
+    occ_big = occupancies(n_big, bits_big)
+    # expected occupancy is design-constant; allow concentration slack
+    # (hyperplane buckets on iid vectors are not perfectly uniform)
+    assert max(occ_big) <= 6 * target
+    # the pair-join cost per vector (sum s^2 / N) must not grow ~10x
+    # as it would with fixed-width buckets
+    cost_small = sum(s * s for s in occ_small) / n_small
+    cost_big = sum(s * s for s in occ_big) / n_big
+    assert cost_big <= 3 * cost_small
+
+
 def test_lang_id_and_token_counts_sane(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     li = lang_id(docs)
@@ -376,10 +455,32 @@ def test_salted_join_equals_plain_join(spark):
         "key string, val string",
     )
     norm = lambda rows: sorted(tuple(map(str, r)) for r in rows)
-    for how in ("inner", "left"):
+    # 'leftouter'/'left_outer' are legitimate Spark aliases for 'left'
+    for how in ("inner", "left", "leftouter", "left_outer", "LEFT"):
         got = salted_join(fact, dim, "key", n_salts=7, how=how)
         want = fact.join(dim, "key", how)
         assert norm(got.collect()) == norm(want.collect()), how
+    for bad in ("right", "full", "outer", "left_anti", "cross"):
+        with pytest.raises(ValueError):
+            salted_join(fact, dim, "key", how=bad)
+
+
+def test_heavy_hitters_two_pass_and_empty(spark):
+    """The sketch pass carries per-partition row totals, so the whole
+    operator is two scans of the input (no separate count job); an
+    empty input yields an empty result, not a division error."""
+    from rdf_canonize_spark.operators.sketches import heavy_hitters
+
+    empty = spark.createDataFrame([], "key string")
+    assert heavy_hitters(empty, "key", 0.1).collect() == []
+    # single partition, all rows one key: count must be exact
+    df = spark.createDataFrame([("x",)] * 37 + [("y",)], "key string")
+    got = {r["key"]: r["n_occurrences"]
+           for r in heavy_hitters(df, "key", 0.5).collect()}
+    assert got == {"x": 37}
+    # output schema unchanged by the internal partition-total column
+    assert [f.name for f in heavy_hitters(df, "key", 0.5).schema.fields] \
+        == ["key", "n_occurrences"]
 
 
 def test_bucketed_join_no_shuffle(spark, tmp_path, sf_dir):

@@ -486,3 +486,48 @@ def test_canonize_colocated_from_bucketed_storage(spark, tmp_path,
         assert a == b and len(a) > 0
     finally:
         spark.sql("DROP TABLE IF EXISTS t_quads_b")
+
+
+def test_hybrid_cap_routes_oversized_to_quarantine(spark):
+    """A sql-ELIGIBLE document over max_doc_quads must not bypass the
+    mega-document quarantine through the fast path: the cap applies at
+    routing time, so hybrid_canonize_documents and canonize_documents
+    emit the SAME rows (canonical vs oversized-error) for the same
+    inputs and cap."""
+    from rdf_canonize_spark.operators.relational import sql_eligible_urls
+    from rdf_canonize_spark.pipeline.canon_stage import (
+        OVERSIZED_PREFIX,
+        canonize_documents,
+        hybrid_canonize_documents,
+    )
+
+    schema = ("url string, s_kind int, s string, p string, o_kind int, "
+              "o string, o_datatype string, o_lang string, g_kind int, "
+              "g string")
+    rows = []
+    # big doc: 40 plain IRI/literal quads, no bnodes -> sql-eligible
+    for i in range(40):
+        rows.append(("u:big", 0, f"http://x.example/s{i}",
+                     "http://x.example/p", 2, f"v{i}",
+                     None, None, 3, ""))
+    # small eligible doc
+    for i in range(3):
+        rows.append(("u:small", 0, f"http://x.example/s{i}",
+                     "http://x.example/p", 2, f"v{i}",
+                     None, None, 3, ""))
+    df = spark.createDataFrame(rows, schema)
+    # precondition: BOTH urls are fast-path eligible without the cap
+    assert {r["url"] for r in sql_eligible_urls(df).collect()} \
+        == {"u:big", "u:small"}
+    cap = 10
+    kern = {r["url"]: _canon_key(r)
+            for r in canonize_documents(
+                df, max_work_factor=3, strategy="repartition",
+                max_doc_quads=cap).collect()}
+    hyb = {r["url"]: _canon_key(r)
+           for r in hybrid_canonize_documents(
+               df, max_work_factor=3, strategy="repartition",
+               max_doc_quads=cap).collect()}
+    assert hyb == kern
+    assert hyb["u:big"][7].startswith(OVERSIZED_PREFIX)
+    assert hyb["u:small"][7] is None and hyb["u:small"][0]
