@@ -177,7 +177,8 @@ OVERSIZED_PREFIX = "Document exceeds maximum quad count"
 
 
 def _canonize_rows_for_url(url, rows, max_work_factor, doc_timeout_ms=0,
-                           max_doc_quads=0):
+                           max_doc_quads=0,
+                           message_digest_algorithm="sha256"):
     input_hash = input_hash_of_rows(rows)
     if max_doc_quads and len(rows) > max_doc_quads:
         # Mega-document routing (SCALE.md): bound per-task memory by
@@ -213,6 +214,7 @@ def _canonize_rows_for_url(url, rows, max_work_factor, doc_timeout_ms=0,
         canonical_id_map=id_map,
         max_work_factor=max_work_factor,
         timeout=doc_timeout_ms,
+        message_digest_algorithm=message_digest_algorithm,
     )
     try:
         nquads = engine.main(dataset)
@@ -301,7 +303,8 @@ def make_canonize_map_fn(max_work_factor=3, max_doc_quads=0):
 
 
 def make_canonize_arrow_fn(max_work_factor=3, doc_timeout_ms=0,
-                           max_doc_quads=0):
+                           max_doc_quads=0,
+                           message_digest_algorithm="sha256"):
     """``mapInArrow`` kernel: pyarrow batches in and out, no pandas.
 
     Same contract as the pandas kernel (url-sorted partitions, urls not
@@ -347,7 +350,8 @@ def make_canonize_arrow_fn(max_work_factor=3, doc_timeout_ms=0,
 
     def canonize_doc(url, rows):
         r = _canonize_rows_for_url(
-            url, rows, max_work_factor, doc_timeout_ms, max_doc_quads
+            url, rows, max_work_factor, doc_timeout_ms, max_doc_quads,
+            message_digest_algorithm,
         )
         return (
             r["url"], r["nquads"], r["label_map"], r["n_quads"],
@@ -394,6 +398,7 @@ def canonize_documents(
     strategy="colocated",
     doc_timeout_ms=0,
     max_doc_quads=0,
+    message_digest_algorithm="sha256",
 ):
     """quads -> canonical_nquads(url, nquads, label_map, ...).
 
@@ -411,6 +416,15 @@ def canonize_documents(
     * ``'grouped'`` -- reference-shaped ``groupBy.applyInPandas``; one
       Python call per document.  Kept for differential testing.
     """
+    if message_digest_algorithm != "sha256" and strategy not in (
+        "colocated", "repartition"
+    ):
+        # only the Arrow kernel is digest-parameterized; refuse rather
+        # than silently hash with the wrong algorithm
+        raise ValueError(
+            "non-sha256 digests require the 'colocated' or "
+            "'repartition' strategy"
+        )
     if strategy == "grouped":
         df = quads_df
         if num_partitions:
@@ -436,7 +450,7 @@ def canonize_documents(
         )
     return df.mapInArrow(
         make_canonize_arrow_fn(max_work_factor, doc_timeout_ms,
-                               max_doc_quads),
+                               max_doc_quads, message_digest_algorithm),
         CANONICAL_SCHEMA,
     )
 

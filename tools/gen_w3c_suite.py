@@ -1,0 +1,231 @@
+"""Generate a W3C rdf-canon-format conformance suite (reconstruction).
+
+The sandbox has no network access, so the official ``w3c/rdf-canon``
+``tests/`` directory cannot be vendored verbatim.  This generator
+writes a suite in the SAME layout and manifest vocabulary the official
+suite uses (and that the reference walks in
+/root/reference/test/test.js:160-202,312-384):
+
+* ``tests/fixtures/w3c_rdfc10/manifest.jsonld`` -- mf:Manifest with
+  ``entries`` of @type rdfc:RDFC10EvalTest / rdfc:RDFC10MapTest /
+  rdfc:RDFC10NegativeEvalTest, ``action``/``result`` file paths,
+  ``computationalComplexity`` (low/medium/high -> maxWorkFactor
+  0/2/3 per test.js:368-384) and optional ``hashAlgorithm``.
+* ``tests/fixtures/w3c_rdfc10/rdfc10/testNNN-in.nq`` inputs, with
+  expected ``testNNN-rdfc10.nq`` / ``testNNN-rdfc10map.json`` results
+  produced by RUNNING THE REFERENCE under node
+  (tools/make_w3c_goldens.js) -- the same implementation that passes
+  the official suite.
+
+The case list reconstructs the official suite's documented categories
+(simple ground/bnode cases, duplicate handling, literal forms, named
+graphs, isomorphic bnode structures needing n-degree hashing, poison
+graphs gated by complexity, non-default hash algorithms); it is
+clearly labeled a reconstruction, NOT the official files.  The pytest
+walker (tests/test_w3c_manifest.py) accepts a drop-in of the real
+``w3c/rdf-canon/tests`` directory via $W3C_RDFC10_TESTS_DIR and runs
+it unchanged.
+
+Usage: PYTHONPATH=. python3 tools/gen_w3c_suite.py
+       node tools/make_w3c_goldens.js
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+OUT = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "..", "tests",
+    "fixtures", "w3c_rdfc10",
+)
+
+ENTRIES = []
+INPUTS = {}
+_N = [0]
+
+
+def case(test_type, name, data, complexity=None, hash_algorithm=None,
+         with_map=False):
+    """Register an eval/negative case; ``with_map`` adds a paired
+    RDFC10MapTest over the same input (official suite pattern)."""
+    _N[0] += 1
+    n = _N[0]
+    stem = "test%03d" % n
+    INPUTS[stem] = data
+    entry = {
+        "@id": "#%sc" % stem,
+        "@type": "rdfc:%s" % test_type,
+        "approval": "rdft:Approved",
+        "name": name,
+        "action": "rdfc10/%s-in.nq" % stem,
+    }
+    if test_type == "RDFC10EvalTest":
+        entry["result"] = "rdfc10/%s-rdfc10.nq" % stem
+    if complexity:
+        entry["computationalComplexity"] = complexity
+    if hash_algorithm:
+        entry["hashAlgorithm"] = hash_algorithm
+    ENTRIES.append(entry)
+    if with_map:
+        m = dict(entry)
+        m["@id"] = "#%sm" % stem
+        m["@type"] = "rdfc:RDFC10MapTest"
+        m["name"] = name + " (map)"
+        m["result"] = "rdfc10/%s-rdfc10map.json" % stem
+        ENTRIES.append(m)
+
+
+def nq(*lines):
+    return "".join(line + " .\n" for line in lines)
+
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+# --- simple ground + bnode cases (low) ---------------------------------------
+case("RDFC10EvalTest", "simple id", nq(
+    "<http://example.com/1> <http://example.com/label> \"test\""), "low")
+case("RDFC10EvalTest", "duplicate ground quads collapse", nq(
+    "<http://ex/s> <http://ex/p> <http://ex/o>",
+    "<http://ex/s> <http://ex/p> <http://ex/o>"), "low")
+case("RDFC10EvalTest", "single blank node subject", nq(
+    "_:e0 <http://example.com/label> \"blank node\""), "low",
+    with_map=True)
+case("RDFC10EvalTest", "blank node chain relabels in order", nq(
+    "_:e1 <http://ex/p> _:e0",
+    "_:e0 <http://ex/p> \"leaf\""), "low", with_map=True)
+case("RDFC10EvalTest", "duplicate bnode quads collapse", nq(
+    "_:a <http://ex/p> _:b",
+    "_:a <http://ex/p> _:b"), "low")
+case("RDFC10EvalTest", "literal forms", nq(
+    "<http://ex/s> <http://ex/p> \"plain\"",
+    "<http://ex/s> <http://ex/p> \"typed\"^^<http://ex/dt>",
+    "<http://ex/s> <http://ex/p> \"tagged\"@en-US",
+    "<http://ex/s> <http://ex/p> \"1\"^^<" + XSD + "integer>"), "low")
+case("RDFC10EvalTest", "explicit xsd:string normalizes away", nq(
+    "<http://ex/s> <http://ex/p> \"v\"^^<" + XSD + "string>"), "low")
+case("RDFC10EvalTest", "rdf:langString with tag round-trips", nq(
+    "<http://ex/s> <http://ex/p> \"v\"@en"), "low")
+case("RDFC10EvalTest", "escape sequences in literals", nq(
+    "<http://ex/s> <http://ex/p> \"tab:" + chr(92) + "t nl:" + chr(92)
+    + "n quote:" + chr(92) + chr(34) + " bs:" + chr(92) + chr(92)
+    + "\""), "low")
+case("RDFC10EvalTest", "unicode literal code points (BMP)", nq(
+    "<http://ex/s> <http://ex/p> \"snowman " + chr(0x2603)
+    + " accents " + chr(0xE9) + chr(0x1FF) + "\""), "low")
+case("RDFC10EvalTest", "named graph IRI", nq(
+    "<http://ex/s> <http://ex/p> <http://ex/o> <http://ex/g>"), "low")
+case("RDFC10EvalTest", "blank node graph label", nq(
+    "<http://ex/s> <http://ex/p> <http://ex/o> _:g0",
+    "_:g0 <http://ex/meta> \"graph\""), "low", with_map=True)
+case("RDFC10EvalTest", "same bnode across default and named graph", nq(
+    "_:s <http://ex/p> \"in default\"",
+    "_:s <http://ex/p> \"in named\" <http://ex/g>"), "low")
+case("RDFC10EvalTest", "bnodes in subject, object, and graph position",
+     nq("_:a <http://ex/p> _:b _:g",
+        "_:b <http://ex/q> \"v\"",
+        "_:g <http://ex/meta> \"g\""), "low", with_map=True)
+case("RDFC10EvalTest", "empty dataset", "", "low")
+case("RDFC10EvalTest", "shared structure, distinct first-degree", nq(
+    "_:a <http://ex/p0> _:c",
+    "_:b <http://ex/p1> _:c",
+    "_:c <http://ex/p2> \"leaf\""), "low", with_map=True)
+
+# --- isomorphic structures needing n-degree hashing (medium) -----------------
+case("RDFC10EvalTest", "two isomorphic disconnected pairs (twins)", nq(
+    "_:a0 <http://ex/p> _:a1",
+    "_:b0 <http://ex/p> _:b1"), "medium", with_map=True)
+case("RDFC10EvalTest", "double circle of 4", nq(
+    "_:c0 <http://ex/n> _:c1", "_:c1 <http://ex/n> _:c2",
+    "_:c2 <http://ex/n> _:c3", "_:c3 <http://ex/n> _:c0",
+    "_:c0 <http://ex/m> _:c3", "_:c3 <http://ex/m> _:c2",
+    "_:c2 <http://ex/m> _:c1", "_:c1 <http://ex/m> _:c0"),
+    "medium", with_map=True)
+case("RDFC10EvalTest", "two disconnected 3-cycles", nq(
+    "_:x0 <http://ex/n> _:x1", "_:x1 <http://ex/n> _:x2",
+    "_:x2 <http://ex/n> _:x0",
+    "_:y0 <http://ex/n> _:y1", "_:y1 <http://ex/n> _:y2",
+    "_:y2 <http://ex/n> _:y0"), "medium", with_map=True)
+case("RDFC10EvalTest", "bipartite 3x3", nq(*[
+    "_:u%d <http://ex/e> _:v%d" % (i, j)
+    for i in range(3) for j in range(3)]), "high")
+case("RDFC10EvalTest", "cycle of 8 (single orbit)", nq(*[
+    "_:r%d <http://ex/n> _:r%d" % (i, (i + 1) % 8)
+    for i in range(8)]), "medium", with_map=True)
+case("RDFC10EvalTest", "grid 3x3 with grounding literal", nq(
+    *(["_:g%d%d <http://ex/r> _:g%d%d" % (i, j, i, j + 1)
+       for i in range(3) for j in range(2)]
+      + ["_:g%d%d <http://ex/d> _:g%d%d" % (i, j, i + 1, j)
+         for i in range(2) for j in range(3)]
+      + ["_:g00 <http://ex/label> \"origin\""])), "medium")
+case("RDFC10EvalTest", "isomorphic named-graph pairs", nq(
+    "_:a <http://ex/p> _:b <http://ex/g1>",
+    "_:b <http://ex/p> _:a <http://ex/g2>"), "medium", with_map=True)
+
+# --- non-default hash algorithms ---------------------------------------------
+case("RDFC10EvalTest", "sha384 digest", nq(
+    "_:a <http://ex/p> _:b",
+    "_:b <http://ex/q> \"v\""), "low", hash_algorithm="SHA384",
+    with_map=True)
+case("RDFC10EvalTest", "sha512 digest twins", nq(
+    "_:a0 <http://ex/p> _:a1",
+    "_:b0 <http://ex/p> _:b1"), "medium", hash_algorithm="SHA512")
+
+# --- poison / complexity-gated (negative: MUST abort at the manifest's
+# complexity budget; test.js maps low->maxWorkFactor 0, medium->2) ------------
+case("RDFC10NegativeEvalTest", "twins need deep iterations (wf0 aborts)",
+     nq("_:a0 <http://ex/p> _:a1",
+        "_:b0 <http://ex/p> _:b1"), "low")
+case("RDFC10NegativeEvalTest", "clique K6 poison at medium budget", nq(*[
+    "_:p%d <http://ex/e> _:p%d" % (i, j)
+    for i in range(6) for j in range(6) if i != j]), "medium")
+case("RDFC10NegativeEvalTest",
+     "complete graph K4 poison even at high budget", nq(*[
+         "_:k%d <http://ex/e> _:k%d" % (i, j)
+         for i in range(4) for j in range(4) if i != j]), "high")
+case("RDFC10NegativeEvalTest",
+     "disconnected cycle pair poison at low budget", nq(*(
+         ["_:m%d <http://ex/n> _:m%d" % (i, (i + 1) % 5)
+          for i in range(5)]
+         + ["_:w%d <http://ex/n> _:w%d" % (i, (i + 1) % 5)
+            for i in range(5)])), "low")
+
+
+def main():
+    rdfc10_dir = os.path.join(OUT, "rdfc10")
+    if os.path.isdir(rdfc10_dir):
+        shutil.rmtree(rdfc10_dir)
+    os.makedirs(rdfc10_dir)
+    for stem, data in INPUTS.items():
+        with open(os.path.join(rdfc10_dir, stem + "-in.nq"), "w",
+                  encoding="utf-8") as f:
+            f.write(data)
+    manifest = {
+        "@context": [
+            "context.jsonld",
+            {"@base": "manifest"},
+        ],
+        "@id": "",
+        "@type": "mf:Manifest",
+        "label": "RDF Dataset Canonicalization (rdf-canon category "
+                 "reconstruction; see tools/gen_w3c_suite.py)",
+        "comment": "NOT the official w3c/rdf-canon files (no network in "
+                   "this sandbox); same layout, vocabulary, and case "
+                   "categories, expected results generated by the "
+                   "reference implementation.  Point "
+                   "$W3C_RDFC10_TESTS_DIR at a real rdf-canon tests/ "
+                   "clone to run the official files unchanged.",
+        "entries": ENTRIES,
+    }
+    with open(os.path.join(OUT, "manifest.jsonld"), "w",
+              encoding="utf-8") as f:
+        json.dump(manifest, f, indent=1, ensure_ascii=True)
+        f.write("\n")
+    print("wrote %d entries (%d inputs) under %s" % (
+        len(ENTRIES), len(INPUTS), OUT))
+
+
+if __name__ == "__main__":
+    main()
