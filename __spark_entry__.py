@@ -102,8 +102,16 @@ def q_canonize_rdfc10(spark, sf_dir):
     by tests/test_canonize_fixtures.py (92 reference-generated goldens
     + ~14.5k differential sweep cases) and tests/test_pipeline_spark.py
     (Spark stage vs pure-Python core).
+    Kernel-bound, so the pages scan passes the min_parallelism guard:
+    a small-file scan would otherwise feed the whole zero-shuffle
+    kernel chain through one task (see pages_from_documents).
     """
-    return canonize_documents(_quads(spark, sf_dir), max_work_factor=3).select(
+    pages = pages_from_documents(
+        spark, sf_dir,
+        min_parallelism=spark.sparkContext.defaultParallelism,
+    )
+    quads = build_quads(pages, gazetteer_df(spark))
+    return canonize_documents(quads, max_work_factor=3).select(
         "url", "n_quads", "n_bnodes", "input_hash"
     )
 

@@ -77,12 +77,17 @@ SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_DOCS", "30000"))
 
 
 def throughput_run(master, n_docs, shuffle_partitions, partitions,
-                   warm_runs=2):
+                   warm_runs=2, timing="best"):
     """End-to-end pipeline throughput over the deterministic heavy
     corpus (same input at every parallelism level).  The job runs
-    ``warm_runs`` times and the best steady-state time is taken --
-    cold-run numbers measure Python-worker/JIT spin-up, not the engine.
-    Returns (sec, docs, quads)."""
+    ``warm_runs`` times; ``timing='best'`` takes the fastest run
+    (cold-run numbers measure Python-worker/JIT spin-up, not the
+    engine), ``timing='warm_mean'`` drops run 1 and averages the rest
+    -- the robust choice for the SCALING legs, where a single
+    hypervisor burst-credit outlier under min() can skew the
+    efficiency ratio in either direction (BENCH_r02's 0.645 artifact
+    paired an anomalously fast local[1] minimum with a normal
+    local[4]).  Returns (sec, docs, quads)."""
     from rdf_canonize_spark.session import get_spark
 
     spark = get_spark(
@@ -105,16 +110,19 @@ def throughput_run(master, n_docs, shuffle_partitions, partitions,
         pages = synthesize_heavy_pages(spark, n_docs, partitions=partitions)
         quads = build_quads(pages, gazetteer_df(spark))
         df = canonize_documents(quads, max_work_factor=3)
-        best = None
+        times = []
         for _ in range(warm_runs):
             t0 = time.time()
             agg = df.agg(
                 F.count(F.lit(1)).alias("docs"),
                 F.sum("n_quads").alias("quads"),
             ).collect()[0]
-            sec = time.time() - t0
-            best = sec if best is None else min(best, sec)
-        return best, int(agg["docs"]), int(agg["quads"])
+            times.append(time.time() - t0)
+        if timing == "warm_mean" and len(times) > 1:
+            sec = sum(times[1:]) / len(times[1:])
+        else:
+            sec = min(times)
+        return sec, int(agg["docs"]), int(agg["quads"])
     finally:
         spark.stop()
 
@@ -184,9 +192,15 @@ def main():
         # calibration at 1->4 is 0.98 even with drained credits; see
         # BASELINE.md).  local[32] peak throughput is supplementary.
         parts = 64
-        time.sleep(15)  # let burst credits refill after headline runs
-        sec1, docs, quads = throughput_run("local[1]", SCALE_DOCS, 2, parts)
-        sec4, _, _ = throughput_run("local[4]", SCALE_DOCS, 8, parts)
+        time.sleep(20)  # let burst credits refill after headline runs
+        sec1, docs, quads = throughput_run(
+            "local[1]", SCALE_DOCS, 2, parts, warm_runs=3,
+            timing="warm_mean",
+        )
+        sec4, _, _ = throughput_run(
+            "local[4]", SCALE_DOCS, 8, parts, warm_runs=3,
+            timing="warm_mean",
+        )
         sec32, _, _ = throughput_run(
             "local[32]", SCALE_DOCS, 64, parts, warm_runs=1
         )

@@ -304,7 +304,8 @@ def make_canonize_map_fn(max_work_factor=3, max_doc_quads=0):
 
 def make_canonize_arrow_fn(max_work_factor=3, doc_timeout_ms=0,
                            max_doc_quads=0,
-                           message_digest_algorithm="sha256"):
+                           message_digest_algorithm="sha256",
+                           kernel_fn=None):
     """``mapInArrow`` kernel: pyarrow batches in and out, no pandas.
 
     Same contract as the pandas kernel (url-sorted partitions, urls not
@@ -348,8 +349,10 @@ def make_canonize_arrow_fn(max_work_factor=3, doc_timeout_ms=0,
         ]
         return pa.RecordBatch.from_arrays(arrays, schema=out_type)
 
+    _kernel = kernel_fn or _canonize_rows_for_url
+
     def canonize_doc(url, rows):
-        r = _canonize_rows_for_url(
+        r = _kernel(
             url, rows, max_work_factor, doc_timeout_ms, max_doc_quads,
             message_digest_algorithm,
         )
@@ -399,8 +402,19 @@ def canonize_documents(
     doc_timeout_ms=0,
     max_doc_quads=0,
     message_digest_algorithm="sha256",
+    kernel_fn=None,
 ):
     """quads -> canonical_nquads(url, nquads, label_map, ...).
+
+    ``kernel_fn``: swap-in per-document canonicalization kernel -- the
+    Spark counterpart of the reference's native-implementation
+    delegation point (``lib/index.js:90-95,151-162``, where a compiled
+    rdf-canonize-native can replace the JS algorithm).  Signature and
+    return contract are ``_canonize_rows_for_url``'s (same ordered row
+    tuples in, same CANONICAL_SCHEMA dict out); the callable is
+    serialized to executors, so an accelerated implementation (e.g. a
+    C/Rust extension imported inside the function) plugs in without
+    touching the Spark plumbing.  Arrow-kernel strategies only.
 
     Strategies:
 
@@ -424,6 +438,13 @@ def canonize_documents(
         raise ValueError(
             "non-sha256 digests require the 'colocated' or "
             "'repartition' strategy"
+        )
+    if kernel_fn is not None and strategy not in (
+        "colocated", "repartition"
+    ):
+        raise ValueError(
+            "kernel_fn requires the 'colocated' or 'repartition' "
+            "strategy (the Arrow kernel surface)"
         )
     if strategy == "grouped":
         df = quads_df
@@ -450,7 +471,8 @@ def canonize_documents(
         )
     return df.mapInArrow(
         make_canonize_arrow_fn(max_work_factor, doc_timeout_ms,
-                               max_doc_quads, message_digest_algorithm),
+                               max_doc_quads, message_digest_algorithm,
+                               kernel_fn),
         CANONICAL_SCHEMA,
     )
 

@@ -156,14 +156,31 @@ def synthesize_heavy_pages(spark, n_docs, partitions=None):
         _STATEMENTS_M_EXPR = saved
 
 
-def pages_from_documents(spark, sf_dir):
+def pages_from_documents(spark, sf_dir, min_parallelism=None):
     """Derive pages from the driver-provided documents table.
 
     Keeps the documents' natural-language body text (so text operators
     have realistic input) and appends the deterministic statements so
     extraction is oracle-checkable.
+
+    ``min_parallelism``: scan-parallelism guard for KERNEL-bound
+    consumers.  Parquet files split only at row-group boundaries, so a
+    small-file table can scan into far fewer partitions than there are
+    cores -- and every downstream narrow stage (extract -> link ->
+    colocated canonize) inherits that single-task bottleneck, which
+    starves the Python kernel specifically (relational consumers
+    re-parallelize at their first shuffle anyway, and multi-scan
+    consumers like the sharded join would pay the exchange once per
+    scan).  When set and the scan under-parallelizes, ONE round-robin
+    exchange of the raw pages (the narrowest frame in the pipeline,
+    far cheaper than shuffling derived quads) restores parallelism; on
+    a production-size table the scan already yields >= cores
+    partitions and this is a no-op, keeping the canonize plan's
+    zero-EXTRA-shuffle contract.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if min_parallelism and docs.rdd.getNumPartitions() < min_parallelism:
+        docs = docs.repartition(min_parallelism)
     df = docs.select(
         F.col("doc_id").cast("long").alias("k"),
         F.col("text").alias("base_text"),

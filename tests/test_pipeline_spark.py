@@ -531,3 +531,46 @@ def test_hybrid_cap_routes_oversized_to_quarantine(spark):
     assert hyb == kern
     assert hyb["u:big"][7].startswith(OVERSIZED_PREFIX)
     assert hyb["u:small"][7] is None and hyb["u:small"][0]
+
+
+def test_pluggable_kernel_seam(spark):
+    """kernel_fn swaps the per-document canonicalization kernel (the
+    counterpart of the reference's native-implementation delegation
+    point, lib/index.js:90-95): a wrapping kernel must see every
+    document exactly once with the documented signature, and its
+    output rides the normal Arrow plumbing unchanged."""
+    from rdf_canonize_spark.pipeline.canon_stage import (
+        _canonize_rows_for_url,
+        canonize_documents,
+    )
+
+    schema = ("url string, s_kind int, s string, p string, o_kind int, "
+              "o string, o_datatype string, o_lang string, g_kind int, "
+              "g string")
+    rows = []
+    for d in range(5):
+        for i in range(3):
+            rows.append((f"u:{d}", 1, f"b{i}", "http://x.example/p",
+                         2, f"v{d}-{i}", None, None, 3, ""))
+    df = spark.createDataFrame(rows, schema)
+
+    def tagging_kernel(url, rows_, wf, timeout, cap, digest):
+        r = _canonize_rows_for_url(url, rows_, wf, timeout, cap, digest)
+        r["deep_iterations"] = 777  # visible marker of the swap
+        return r
+
+    base = {r["url"]: r for r in canonize_documents(
+        df, max_work_factor=3, strategy="repartition").collect()}
+    swapped = {r["url"]: r for r in canonize_documents(
+        df, max_work_factor=3, strategy="repartition",
+        kernel_fn=tagging_kernel).collect()}
+    assert set(swapped) == set(base) and len(base) == 5
+    for url, r in swapped.items():
+        assert r["deep_iterations"] == 777
+        assert r["nquads"] == base[url]["nquads"]
+        assert r["quads_hash"] == base[url]["quads_hash"]
+    # the seam is Arrow-kernel-only: grouped strategy must refuse
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        canonize_documents(df, strategy="grouped",
+                           kernel_fn=tagging_kernel)
