@@ -135,6 +135,71 @@ def centroids(emb, stride=CENTROID_STRIDE, mod=CENTROID_MOD):
     ).select(F.col("vec_id").alias("cell_id"), F.col("v").alias("cv"))
 
 
+def train_centroids(emb, k=16, n_iter=5):
+    """Deterministic Lloyd-trained centroid table ``(cell_id, cv)`` for
+    ``ivf_topk(centroids_df=...)``: stride-sampled init (reproducible),
+    then ``n_iter`` rounds of assign + per-cell mean.
+
+    Scale shape: each round is one broadcast-assign (N x k, k fixed --
+    unlike the stride default whose K grows with N) plus one
+    map-side-combinable groupBy(cell) mean; the k-row centroid table
+    localCheckpoints between rounds so the plan stays O(1) deep.
+    Cluster means use float summation, so trained centroids are
+    deterministic within an engine but NOT bit-portable across
+    engines -- which is why the ORACLE-checked queries keep the
+    stride sample and this trainer is semantically tested instead
+    (inertia must not increase round over round).
+
+    Empty cells keep their previous centroid (coalesce), matching the
+    standard Lloyd degenerate-cell convention."""
+    emb = emb.filter(F.size("v") == EMB_DIM)
+    n = emb.count()
+    stride = max(1, n // k)
+    # stride-filter first (narrow, ~k survivors), THEN rank: the
+    # global row_number window runs over ~k rows, never the corpus
+    init = emb.filter(F.col("vec_id") % stride == CENTROID_MOD % stride)
+    cents = (
+        init.withColumn(
+            "__rn", F.row_number().over(Window.orderBy("vec_id"))
+        )
+        .filter(F.col("__rn") <= k)
+        .select(
+            (F.col("__rn") - 1).alias("cell_id"),
+            F.col("v").alias("cv"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(n_iter):
+        assigned = assign_cells(emb, cents)
+        # per-dimension F.sum columns: fully map-side-combinable (one
+        # narrow shuffle of k x dim partial sums), no collect_list
+        # memory proportional to cell size
+        sums = [
+            F.sum(F.get(F.col("v"), i)).alias(f"__s{i}")
+            for i in range(EMB_DIM)
+        ]
+        means = (
+            assigned.groupBy("cell_id")
+            .agg(F.count(F.lit(1)).alias("__n"), *sums)
+            .select(
+                "cell_id",
+                F.array(
+                    *[F.col(f"__s{i}") / F.col("__n")
+                      for i in range(EMB_DIM)]
+                ).alias("cv_new"),
+            )
+        )
+        cents = (
+            cents.join(means, "cell_id", "left")
+            .select(
+                "cell_id",
+                F.coalesce("cv_new", "cv").alias("cv"),
+            )
+            .localCheckpoint()
+        )
+    return cents
+
+
 def assign_cells(emb, cents):
     """Nearest-centroid (Voronoi) assignment.  Shape: corpus x
     broadcast centroids, then ONE map-side-combinable groupBy taking

@@ -179,6 +179,45 @@ def test_ann_variants_defining_properties(spark, sf_dir):
             assert abs(bf_cos[key] - r["cosine"]) < 1e-9
 
 
+def test_train_centroids_and_external_ivf(spark, sf_dir):
+    """Lloyd trainer: inertia (sum of squared distance to the
+    assigned centroid) must not increase round over round, and the
+    trained table plugs into ivf_topk via centroids_df with valid
+    ANN output (the external-centroid deployment path)."""
+    emb = similarity._load(spark, sf_dir).filter(
+        F.size("v") == similarity.EMB_DIM
+    ).cache()
+
+    def inertia(cents):
+        a = similarity.assign_cells(emb, cents)
+        joined = a.join(
+            cents.withColumnRenamed("cell_id", "cid"),
+            a["cell_id"] == F.col("cid"),
+        )
+        return joined.agg(
+            F.sum(
+                similarity._d2(F.col("v"), F.col("cv"))
+            ).alias("i")
+        ).collect()[0]["i"]
+
+    prev = None
+    for it in (0, 2, 5):
+        cents = similarity.train_centroids(emb, k=8, n_iter=it)
+        assert cents.count() == 8
+        cur = inertia(cents)
+        if prev is not None:
+            assert cur <= prev + 1e-6, (it, cur, prev)
+        prev = cur
+    trained = similarity.train_centroids(emb, k=8, n_iter=3)
+    rows = similarity.ivf_topk(
+        spark, sf_dir, centroids_df=trained
+    ).collect()
+    assert len(rows) == 50  # 10 queries x top-5
+    assert all(1 <= r["rank"] <= 5 and -1.0 <= r["cosine"] <= 1.0
+               for r in rows)
+    emb.unpersist()
+
+
 def test_banded_hyperplane_lsh_semantics(spark, sf_dir):
     """Banded multi-table hyperplane LSH: (1) table 0 reproduces the
     original single-table buckets, so n_tables=1 keeps the contract

@@ -164,6 +164,40 @@ case("RDFC10EvalTest", "isomorphic named-graph pairs", nq(
     "_:a <http://ex/p> _:b <http://ex/g1>",
     "_:b <http://ex/p> _:a <http://ex/g2>"), "medium", with_map=True)
 
+case("RDFC10EvalTest", "input labels already in c14n form", nq(
+    "_:c14n0 <http://ex/p> _:c14n1",
+    "_:c14n1 <http://ex/p> \"leaf\""), "low", with_map=True)
+case("RDFC10EvalTest", "c14n-labeled twins (prefix collision stress)",
+     nq("_:c14n1 <http://ex/p> _:c14n0",
+        "_:a <http://ex/p> _:b"), "medium", with_map=True)
+case("RDFC10EvalTest", "star graph (hub + 5 leaves)", nq(*(
+    ["_:hub <http://ex/spoke> _:leaf%d" % i for i in range(5)])),
+    "medium", with_map=True)
+case("RDFC10EvalTest", "binary tree depth 3", nq(*(
+    ["_:t%d <http://ex/l> _:t%d" % (i, 2 * i + 1) for i in range(7)]
+    + ["_:t%d <http://ex/r> _:t%d" % (i, 2 * i + 2) for i in range(7)])),
+    "medium")
+case("RDFC10EvalTest", "three disjoint isomorphic chains", nq(*(
+    ["_:%s0 <http://ex/n> _:%s1" % (p, p) for p in ("a", "b", "c")]
+    + ["_:%s1 <http://ex/n> _:%s2" % (p, p) for p in ("a", "b", "c")])),
+    "medium", with_map=True)
+case("RDFC10EvalTest", "same triple in default and two named graphs",
+     nq("_:x <http://ex/p> _:y",
+        "_:x <http://ex/p> _:y <http://ex/g1>",
+        "_:x <http://ex/p> _:y <http://ex/g2>"), "medium")
+case("RDFC10EvalTest", "literal-distinguished near-twins", nq(
+    "_:a <http://ex/p> \"1\"",
+    "_:b <http://ex/p> \"2\"",
+    "_:a <http://ex/q> _:b"), "low", with_map=True)
+case("RDFC10EvalTest", "predicate-only difference between bnodes", nq(
+    "_:a <http://ex/p1> \"v\"",
+    "_:b <http://ex/p2> \"v\""), "low")
+case("RDFC10EvalTest", "empty-string literal and language tag", nq(
+    "<http://ex/s> <http://ex/p> \"\"",
+    "<http://ex/s> <http://ex/p> \"\"@en"), "low")
+case("RDFC10EvalTest", "IRI with percent and UCHAR-escapable chars", nq(
+    "<http://ex/path%20x?q=1&r=2#frag> <http://ex/p> \"v\""), "low")
+
 # --- non-default hash algorithms ---------------------------------------------
 case("RDFC10EvalTest", "sha384 digest", nq(
     "_:a <http://ex/p> _:b",
