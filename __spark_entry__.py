@@ -750,6 +750,13 @@ def q_ann_lsh(spark, sf_dir):
     return similarity.lsh_ann_topk(spark, sf_dir)
 
 
+def q_ann_lsh_banded(spark, sf_dir):
+    """Banded multi-table hyperplane ANN -- the bounded-occupancy
+    scale configuration of lsh_ann_topk (OR-of-tables recall,
+    candidates deduped before the exact rerank)."""
+    return similarity.lsh_ann_topk(spark, sf_dir, n_tables=3, bits=6)
+
+
 def q_embedding_near_dups(spark, sf_dir):
     """Embedding-cosine near-dup pairs via LSH buckets + exact cosine
     verification (the dedup-flavored ANN variant)."""
@@ -811,6 +818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_force_topk": q_ann_brute_force,
         "ann_ivf_topk": q_ann_ivf,
         "ann_lsh_topk": q_ann_lsh,
+        "ann_lsh_banded_topk": q_ann_lsh_banded,
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_near_dups_banded": q_embedding_near_dups_banded,
         "media_features": q_media_features,
@@ -879,6 +887,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_brute_force_topk": oracle_ops.brute_force_topk(),
         "ann_ivf_topk": oracle_ops.ivf_topk(),
         "ann_lsh_topk": oracle_ops.lsh_ann_topk(),
+        "ann_lsh_banded_topk": oracle_ops.lsh_ann_topk_banded(
+            n_tables=3, bits=6
+        ),
         "embedding_near_dups": oracle_ops.embedding_near_dup_pairs(),
         "embedding_near_dups_banded":
             oracle_ops.embedding_near_dup_pairs_banded(

@@ -654,6 +654,63 @@ SELECT vec_a, vec_b, round(cosine, 6) AS cosine
 FROM pairs WHERE cosine >= {threshold}"""
 
 
+def lsh_ann_topk_banded(n_tables=3, bits=6):
+    """Banded multi-table hyperplane ANN: query-corpus candidates =
+    collision in ANY table (dedup before rerank), exact cosine rerank.
+    Mirrors similarity.lsh_ann_topk(n_tables=, bits=)."""
+    from .similarity import HYPERPLANE_SEED
+
+    def bucket(v, planes):
+        out = []
+        for row in planes:
+            lit = "[" + ", ".join(str(x) for x in row) + "]"
+            out.append(
+                f"(CASE WHEN list_dot_product({v}, "
+                f"CAST({lit} AS DOUBLE[])) >= 0 "
+                f"THEN '1' ELSE '0' END)"
+            )
+        return " || ".join(out)
+
+    table_selects = []
+    for t in range(n_tables):
+        planes = _hyperplanes(seed=HYPERPLANE_SEED + t, n=bits)
+        table_selects.append(
+            f"SELECT vec_id, {t} AS tbl, {bucket('v', planes)} AS bucket "
+            f"FROM ed"
+        )
+    buckets_sql = " UNION ALL ".join(table_selects)
+    return f"""WITH {_EMB_CTE},
+ed AS (SELECT * FROM e WHERE len(v) = {EMB_DIM}),
+bk AS ({buckets_sql}),
+qb AS (
+  SELECT vec_id AS query_id, tbl, bucket FROM bk
+  WHERE vec_id < {N_QUERIES}
+),
+cand AS (
+  SELECT DISTINCT qb.query_id, bk.vec_id
+  FROM bk JOIN qb ON bk.tbl = qb.tbl AND bk.bucket = qb.bucket
+  WHERE bk.vec_id <> qb.query_id
+),
+scored AS (
+  SELECT c.query_id, c.vec_id,
+    list_dot_product(ev.v, eq.v) /
+      (sqrt(list_dot_product(ev.v, ev.v)) *
+       sqrt(list_dot_product(eq.v, eq.v))) AS cosine
+  FROM cand c
+  JOIN ed ev ON ev.vec_id = c.vec_id
+  JOIN ed eq ON eq.vec_id = c.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+    CAST(ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+    ) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, round(cosine, 6) AS cosine, rank
+FROM ranked WHERE rank <= {TOP_K}"""
+
+
 def lsh_ann_topk():
     planes = _hyperplanes()
     def bucket(v):

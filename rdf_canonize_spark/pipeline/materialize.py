@@ -158,6 +158,13 @@ def write_batch(canonical_df, out_dir, batch_id, fmt="parquet",
 
     ``nonempty_hint=False`` short-circuits the write entirely for
     callers that already know the batch is empty.
+
+    Format note: the stage/rename dance is for PATH-based formats
+    (parquet/orc on a filesystem or rename-capable object store).  An
+    Iceberg deployment gets atomic replacement from the table format's
+    own snapshot commit -- swap this function's body for a plain
+    ``writeTo(table).overwritePartitions()`` guarded by the same
+    staged-emptiness read, keeping the manifest append unchanged.
     """
     spark = canonical_df.sparkSession
     data_path = os.path.join(out_dir, "canonical_nquads", f"batch={batch_id}")
