@@ -640,6 +640,27 @@ def q_dedup_exact(spark, sf_dir):
     return dedup.exact_dedup(dedup.near_dup_corpus(spark, sf_dir))
 
 
+def q_paragraph_dedup(spark, sf_dir):
+    """Sub-document exact dedup: window-aligned 12-word segments
+    repeated across distinct documents, with spread + keeper."""
+    return dedup.paragraph_dedup(dedup.near_dup_corpus(spark, sf_dir))
+
+
+def q_boilerplate_segments(spark, sf_dir):
+    """CCNet-style per-source boilerplate list over documents plus an
+    every-10th exact repost (same source) -- the removal list a
+    cleaning pass anti-joins against."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    reposts = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "source", "text"
+    )
+    return dedup.boilerplate_segments(docs.unionAll(reposts))
+
+
 def q_dedup_jaccard(spark, sf_dir):
     return dedup.jaccard_pairs(
         dedup.near_dup_corpus(spark, sf_dir), threshold=0.5
@@ -799,6 +820,8 @@ def q_media_frames(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact": q_dedup_exact,
+        "paragraph_dedup": q_paragraph_dedup,
+        "boilerplate_segments": q_boilerplate_segments,
         "dedup_jaccard_pairs": q_dedup_jaccard,
         "dedup_minhash_signatures": q_dedup_minhash_signatures,
         "dedup_lsh_candidates": q_dedup_lsh_candidates,
@@ -874,6 +897,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lsh_verified": oracle_ops.lsh_verified_pairs(threshold=0.5),
         "dedup_clusters": oracle_ops.dedup_clusters(threshold=0.5),
         "dedup_simhash": oracle_ops.simhash(),
+        "paragraph_dedup": oracle_ops.paragraph_dedup(),
+        "boilerplate_segments": oracle_ops.boilerplate_segments(),
         "text_lang_id": oracle_ops.lang_id(),
         "text_quality": oracle_ops.quality_score(),
         "text_token_counts": oracle_ops.token_counts(),

@@ -333,3 +333,99 @@ def decontaminate(train_docs, benchmark_docs, n=DECONTAM_NGRAM,
             .alias("is_contaminated"),
         )
     )
+
+
+# --- sub-document (paragraph/segment) dedup ----------------------------------
+SEGMENT_WORDS = 12
+
+
+def doc_segments(docs, words_per_seg=SEGMENT_WORDS, id_col="doc_id",
+                 text_col="text", extra_cols=()):
+    """(id, [extra], seg_idx, seg_hash): non-overlapping windows of
+    ``words_per_seg`` whitespace tokens, md5-hashed.  Only FULL
+    windows are emitted (a ragged tail is not a comparable unit).
+
+    Window-ALIGNED segmentation: it catches whole-document duplicates
+    and boilerplate that repeats from the same token offset; prose
+    duplicated at arbitrary offsets is the shingle/MinHash paths' job
+    (``lsh_candidates``).  Catalyst-only, zero joins: tokenize ->
+    explode a seg-index sequence -> slice+hash.  At 100 TB this is one
+    narrow pass over the text column."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_segs = F.floor(F.size(toks) / words_per_seg).cast("int")
+    seg_ix = F.explode(F.sequence(F.lit(0), n_segs - 1))
+    base = docs.filter(n_segs > 0).select(
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        toks.alias("__toks"),
+        seg_ix.alias("seg_idx"),
+    )
+    seg_text = F.concat_ws(
+        " ",
+        F.slice(
+            F.col("__toks"),
+            F.col("seg_idx") * words_per_seg + 1,
+            words_per_seg,
+        ),
+    )
+    return base.select(
+        id_col, *extra_cols, "seg_idx", F.md5(seg_text).alias("seg_hash")
+    )
+
+
+def paragraph_dedup(docs, words_per_seg=SEGMENT_WORDS):
+    """Sub-document exact dedup: segments appearing in more than one
+    DISTINCT document, with their spread and a deterministic keeper
+    (min doc_id).  The practical training-data use: drop or down-weight
+    repeated passages (licenses, navigation, templated intros) without
+    discarding the documents that contain them.
+
+    Shape: the segment pass is narrow; the only shuffle is the
+    seg_hash groupBy, map-side combinable, keys uniform (md5)."""
+    segs = doc_segments(docs, words_per_seg)
+    return (
+        segs.groupBy("seg_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def boilerplate_segments(docs, words_per_seg=SEGMENT_WORDS,
+                         min_docs=2, min_frac=0.05):
+    """CCNet-style boilerplate detection per source/domain: segments
+    present in >= ``min_docs`` distinct documents AND >= ``min_frac``
+    of the source's documents.  Emits (source, seg_hash, n_docs,
+    doc_frac) -- the removal list a cleaning pass anti-joins against.
+
+    Shape: segment pass (narrow) + one (source, seg_hash) groupBy +
+    a broadcast join of per-source doc totals (|sources| rows).  The
+    per-source totals frame is tiny by construction; the groupBy key
+    space is uniform md5 -- no skew handling needed."""
+    segs = doc_segments(docs, words_per_seg, extra_cols=("source",))
+    per_source_docs = docs.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("__total_docs")
+    )
+    counts = (
+        segs.select("source", "seg_hash", "doc_id")
+        .distinct()
+        .groupBy("source", "seg_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return (
+        counts.join(F.broadcast(per_source_docs), "source")
+        .withColumn(
+            "doc_frac",
+            F.round(
+                F.col("n_docs").cast("double") / F.col("__total_docs"), 6
+            ),
+        )
+        .filter(
+            (F.col("n_docs") >= min_docs)
+            & (F.col("doc_frac") >= min_frac)
+        )
+        .select("source", "seg_hash", "n_docs", "doc_frac")
+    )

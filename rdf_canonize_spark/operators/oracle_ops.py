@@ -747,3 +747,72 @@ ranked AS (
 )
 SELECT query_id, vec_id, round(cosine, 6) AS cosine, rank
 FROM ranked WHERE rank <= {TOP_K}"""
+
+
+SEGMENT_WORDS = 12
+
+_SEGS_TEMPLATE = """
+toks AS (
+  SELECT {id_cols}, string_split_regex(trim(text), '{ws}') AS t
+  FROM {src}
+),
+segs AS (
+  SELECT {id_cols}, CAST(i AS INT) AS seg_idx,
+    md5(array_to_string(
+      t[CAST(i AS BIGINT) * {w} + 1 : CAST(i AS BIGINT) * {w} + {w}],
+      ' ')) AS seg_hash
+  FROM toks, UNNEST(range(CAST(floor(len(t) / {w}) AS BIGINT))) AS u(i)
+  WHERE len(t) >= {w}
+)"""
+
+
+def _segs_cte(src, id_cols, w=SEGMENT_WORDS):
+    # the regex literal is built with chr() so no raw backslash-s
+    # survives a file-write mangling (CLAUDE.md unicode constraint)
+    ws = chr(92) + "s+"
+    return _SEGS_TEMPLATE.format(src=src, id_cols=id_cols, w=w, ws=ws)
+
+
+def paragraph_dedup(w=SEGMENT_WORDS):
+    """Mirrors dedup.paragraph_dedup over the near-dup corpus."""
+    return f"""WITH {CORPUS_CTE.strip().rstrip()},{_segs_cte('corpus', 'doc_id', w)}
+SELECT seg_hash,
+  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+  COUNT(*) AS n_occurrences,
+  MIN(doc_id) AS keeper_doc_id
+FROM segs
+GROUP BY seg_hash
+HAVING COUNT(DISTINCT doc_id) > 1"""
+
+
+BOILER_CORPUS_CTE = """
+bcorpus AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, source, text
+  FROM documents WHERE doc_id % 10 = 0
+)
+"""
+
+
+def boilerplate_segments(w=SEGMENT_WORDS, min_docs=2, min_frac=0.05):
+    """Mirrors dedup.boilerplate_segments over documents + every-10th
+    exact repost (same source).  min_frac is interpolated via Python
+    repr for bit-identical DOUBLE comparison (CLAUDE.md recipe)."""
+    frac = repr(float(min_frac))
+    return f"""WITH {BOILER_CORPUS_CTE.strip()},{_segs_cte('bcorpus', 'doc_id, source', w)},
+totals AS (
+  SELECT source, COUNT(DISTINCT doc_id) AS total_docs FROM bcorpus
+  GROUP BY source
+),
+counts AS (
+  SELECT source, seg_hash, CAST(COUNT(*) AS BIGINT) AS n_docs FROM (
+    SELECT DISTINCT source, seg_hash, doc_id FROM segs
+  ) GROUP BY source, seg_hash
+)
+SELECT c.source, c.seg_hash, c.n_docs,
+  round(CAST(c.n_docs AS DOUBLE) / t.total_docs, 6) AS doc_frac
+FROM counts c JOIN totals t ON c.source = t.source
+WHERE c.n_docs >= {min_docs}
+  AND round(CAST(c.n_docs AS DOUBLE) / t.total_docs, 6)
+      >= CAST({frac} AS DOUBLE)"""

@@ -750,3 +750,49 @@ def test_pack_sequences_semantics(spark, sf_dir):
                  docs.repartition(13), budget=100, shards=4).collect()}
     assert again == {(r["doc_id"], r["shard"], r["seq_id"],
                       r["seq_offset"]) for r in rows}
+
+
+def test_paragraph_dedup_and_boilerplate_planted(spark):
+    """Window-aligned segment dedup finds exactly the planted shared
+    paragraphs; boilerplate detection flags the per-source repeated
+    header and nothing from the unique-text source."""
+    header = " ".join(f"hdr{i}" for i in range(12))
+    para = " ".join(f"shared{i}" for i in range(12))
+
+    def uniq(tag, n=12):
+        return " ".join(f"{tag}w{i}" for i in range(n))
+
+    rows = [
+        # s1: three docs opening with the same 12-word header
+        (0, "s1", header + " " + uniq("a")),
+        (1, "s1", header + " " + uniq("b")),
+        (2, "s1", header + " " + uniq("c")),
+        # s2: unique docs, but 10 and 11 share an aligned paragraph
+        (10, "s2", para + " " + uniq("d")),
+        (11, "s2", para + " " + uniq("e")),
+        (12, "s2", uniq("f") + " " + uniq("g")),
+        # ragged tail shorter than a window contributes nothing
+        (13, "s2", "tiny text"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    dups = {r["seg_hash"]: r for r in dedup.paragraph_dedup(docs).collect()}
+    import hashlib
+    h_header = hashlib.md5(header.encode()).hexdigest()
+    h_para = hashlib.md5(para.encode()).hexdigest()
+    assert set(dups) == {h_header, h_para}
+    assert dups[h_header]["n_docs"] == 3
+    assert dups[h_header]["keeper_doc_id"] == 0
+    assert dups[h_para]["n_docs"] == 2
+    assert dups[h_para]["keeper_doc_id"] == 10
+
+    bp = {(r["source"], r["seg_hash"]): r
+          for r in dedup.boilerplate_segments(
+              docs, min_docs=2, min_frac=0.5).collect()}
+    # header: 3/3 s1 docs -> flagged; para: 2/4 s2 docs -> 0.5 -> flagged
+    assert set(bp) == {("s1", h_header), ("s2", h_para)}
+    assert bp[("s1", h_header)]["doc_frac"] == 1.0
+    # tightening min_frac drops the s2 paragraph
+    bp2 = dedup.boilerplate_segments(docs, min_docs=2, min_frac=0.75)
+    assert {(r["source"], r["seg_hash"]) for r in bp2.collect()} \
+        == {("s1", h_header)}
