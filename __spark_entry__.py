@@ -646,10 +646,7 @@ def q_paragraph_dedup(spark, sf_dir):
     return dedup.paragraph_dedup(dedup.near_dup_corpus(spark, sf_dir))
 
 
-def q_boilerplate_segments(spark, sf_dir):
-    """CCNet-style per-source boilerplate list over documents plus an
-    every-10th exact repost (same source) -- the removal list a
-    cleaning pass anti-joins against."""
+def _boiler_corpus(spark, sf_dir):
     from pyspark.sql import functions as F
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
@@ -658,7 +655,22 @@ def q_boilerplate_segments(spark, sf_dir):
     reposts = docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 2000000).alias("doc_id"), "source", "text"
     )
-    return dedup.boilerplate_segments(docs.unionAll(reposts))
+    return docs.unionAll(reposts)
+
+
+def q_boilerplate_segments(spark, sf_dir):
+    """CCNet-style per-source boilerplate list over documents plus an
+    every-10th exact repost (same source) -- the removal list a
+    cleaning pass anti-joins against."""
+    return dedup.boilerplate_segments(_boiler_corpus(spark, sf_dir))
+
+
+def q_remove_boilerplate(spark, sf_dir):
+    """The consuming cleaning pass: drop flagged segments, rebuild
+    whitespace-normalized text, count removals per document."""
+    corpus = _boiler_corpus(spark, sf_dir)
+    removal = dedup.boilerplate_segments(corpus)
+    return dedup.remove_boilerplate(corpus, removal)
 
 
 def q_dedup_jaccard(spark, sf_dir):
@@ -822,6 +834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "paragraph_dedup": q_paragraph_dedup,
         "boilerplate_segments": q_boilerplate_segments,
+        "remove_boilerplate": q_remove_boilerplate,
         "dedup_jaccard_pairs": q_dedup_jaccard,
         "dedup_minhash_signatures": q_dedup_minhash_signatures,
         "dedup_lsh_candidates": q_dedup_lsh_candidates,
@@ -899,6 +912,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": oracle_ops.simhash(),
         "paragraph_dedup": oracle_ops.paragraph_dedup(),
         "boilerplate_segments": oracle_ops.boilerplate_segments(),
+        "remove_boilerplate": oracle_ops.remove_boilerplate(),
         "text_lang_id": oracle_ops.lang_id(),
         "text_quality": oracle_ops.quality_score(),
         "text_token_counts": oracle_ops.token_counts(),

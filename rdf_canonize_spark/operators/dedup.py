@@ -429,3 +429,85 @@ def boilerplate_segments(docs, words_per_seg=SEGMENT_WORDS,
         )
         .select("source", "seg_hash", "n_docs", "doc_frac")
     )
+
+
+def remove_boilerplate(docs, removal_df, words_per_seg=SEGMENT_WORDS):
+    """Apply a ``boilerplate_segments`` removal list: rebuild each
+    document's text with flagged segments dropped (ragged tail always
+    preserved).  Output text is WHITESPACE-NORMALIZED (single spaces):
+    segmentation tokenizes, so reconstruction is from tokens.
+
+    Emits (doc_id, source, cleaned_text, n_removed).  Shape: one
+    narrow segment pass, a broadcast anti-join against the (tiny)
+    removal list, one groupBy(doc) to reassemble -- the corpus text
+    crosses exactly one shuffle, keyed by the uniform doc id."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    base = docs.select(
+        "doc_id",
+        "source",
+        toks.alias("__toks"),
+        F.floor(F.size(toks) / words_per_seg).cast("int").alias("__n"),
+    )
+    seg_ix = F.explode(F.sequence(F.lit(0), F.col("__n") - 1))
+    segs = base.filter(F.col("__n") > 0).select(
+        "doc_id", "source", "__toks", seg_ix.alias("seg_idx")
+    ).withColumn(
+        "seg_text",
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.col("__toks"),
+                F.col("seg_idx") * words_per_seg + 1,
+                words_per_seg,
+            ),
+        ),
+    ).withColumn("seg_hash", F.md5(F.col("seg_text")))
+    kept = segs.join(
+        F.broadcast(removal_df.select("source", "seg_hash")),
+        ["source", "seg_hash"],
+        "left_anti",
+    )
+    kept_agg = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("seg_idx", "seg_text"))),
+                lambda s: s["seg_text"],
+            ),
+        ).alias("__kept_text"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    tail = base.select(
+        "doc_id",
+        "source",
+        F.col("__n"),
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.col("__toks"),
+                F.col("__n") * words_per_seg + 1,
+                F.greatest(
+                    F.size(F.col("__toks"))
+                    - F.col("__n") * words_per_seg,
+                    F.lit(0),
+                ),
+            ),
+        ).alias("__tail"),
+    )
+    return (
+        tail.join(kept_agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.trim(
+                F.concat_ws(
+                    " ",
+                    F.coalesce(F.col("__kept_text"), F.lit("")),
+                    F.col("__tail"),
+                )
+            ).alias("cleaned_text"),
+            (F.col("__n") - F.coalesce(F.col("__n_kept"), F.lit(0)))
+            .cast("int")
+            .alias("n_removed"),
+        )
+    )

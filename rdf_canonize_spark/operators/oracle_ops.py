@@ -816,3 +816,68 @@ FROM counts c JOIN totals t ON c.source = t.source
 WHERE c.n_docs >= {min_docs}
   AND round(CAST(c.n_docs AS DOUBLE) / t.total_docs, 6)
       >= CAST({frac} AS DOUBLE)"""
+
+
+def remove_boilerplate(w=SEGMENT_WORDS, min_docs=2, min_frac=0.05):
+    """Mirrors dedup.remove_boilerplate over the boilerplate corpus:
+    removal list from boilerplate_segments, text rebuilt from kept
+    segments (ORDER BY seg_idx) plus the ragged tail."""
+    frac = repr(float(min_frac))
+    ws = chr(92) + "s+"
+    return f"""WITH {BOILER_CORPUS_CTE.strip()},
+toks AS (
+  SELECT doc_id, source, string_split_regex(trim(text), '{ws}') AS t
+  FROM bcorpus
+),
+segs AS (
+  SELECT doc_id, source, CAST(i AS INT) AS seg_idx,
+    array_to_string(
+      t[CAST(i AS BIGINT) * {w} + 1 : CAST(i AS BIGINT) * {w} + {w}],
+      ' ') AS seg_text,
+    md5(array_to_string(
+      t[CAST(i AS BIGINT) * {w} + 1 : CAST(i AS BIGINT) * {w} + {w}],
+      ' ')) AS seg_hash
+  FROM toks, UNNEST(range(CAST(floor(len(t) / {w}) AS BIGINT))) AS u(i)
+  WHERE len(t) >= {w}
+),
+totals AS (
+  SELECT source, COUNT(DISTINCT doc_id) AS total_docs FROM bcorpus
+  GROUP BY source
+),
+counts AS (
+  SELECT source, seg_hash, CAST(COUNT(*) AS BIGINT) AS n_docs FROM (
+    SELECT DISTINCT source, seg_hash, doc_id FROM segs
+  ) GROUP BY source, seg_hash
+),
+removal AS (
+  SELECT c.source, c.seg_hash
+  FROM counts c JOIN totals t ON c.source = t.source
+  WHERE c.n_docs >= {min_docs}
+    AND round(CAST(c.n_docs AS DOUBLE) / t.total_docs, 6)
+        >= CAST({frac} AS DOUBLE)
+),
+kept AS (
+  SELECT s.doc_id, s.seg_idx, s.seg_text
+  FROM segs s LEFT JOIN removal r
+    ON s.source = r.source AND s.seg_hash = r.seg_hash
+  WHERE r.seg_hash IS NULL
+),
+kept_agg AS (
+  SELECT doc_id,
+    string_agg(seg_text, ' ' ORDER BY seg_idx) AS kept_text,
+    COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+tails AS (
+  SELECT doc_id, source,
+    CAST(floor(len(t) / {w}) AS INT) AS n,
+    array_to_string(
+      t[CAST(floor(len(t) / {w}) AS BIGINT) * {w} + 1 : len(t)],
+      ' ') AS tail
+  FROM toks
+)
+SELECT tl.doc_id, tl.source,
+  trim(concat_ws(' ', coalesce(k.kept_text, ''), tl.tail))
+    AS cleaned_text,
+  CAST(tl.n - coalesce(k.n_kept, 0) AS INT) AS n_removed
+FROM tails tl LEFT JOIN kept_agg k ON tl.doc_id = k.doc_id"""

@@ -796,3 +796,16 @@ def test_paragraph_dedup_and_boilerplate_planted(spark):
     bp2 = dedup.boilerplate_segments(docs, min_docs=2, min_frac=0.75)
     assert {(r["source"], r["seg_hash"]) for r in bp2.collect()} \
         == {("s1", h_header)}
+
+    # the cleaning pass: flagged segments vanish, everything else
+    # (including sub-window tails) survives whitespace-normalized
+    removal = dedup.boilerplate_segments(docs, min_docs=2, min_frac=0.5)
+    cleaned = {r["doc_id"]: r
+               for r in dedup.remove_boilerplate(docs, removal).collect()}
+    assert len(cleaned) == len(rows)
+    assert cleaned[0]["cleaned_text"] == uniq("a")
+    assert cleaned[0]["n_removed"] == 1
+    assert cleaned[10]["cleaned_text"] == uniq("d")
+    assert cleaned[12]["cleaned_text"] == uniq("f") + " " + uniq("g")
+    assert cleaned[12]["n_removed"] == 0
+    assert cleaned[13]["cleaned_text"] == "tiny text"  # tail-only doc
