@@ -198,6 +198,57 @@ case("RDFC10EvalTest", "empty-string literal and language tag", nq(
 case("RDFC10EvalTest", "IRI with percent and UCHAR-escapable chars", nq(
     "<http://ex/path%20x?q=1&r=2#frag> <http://ex/p> \"v\""), "low")
 
+# --- unicode / escape / datatype depth ---------------------------------------
+case("RDFC10EvalTest", "astral characters in literal (UTF-16 units)", nq(
+    "_:a <http://ex/p> \"astral " + chr(0x10400) + chr(0x1F600)
+    + " mixed " + chr(0xE000) + chr(0xFFFD) + "\"",
+    "_:b <http://ex/p> \"astral " + chr(0x10401) + "\""), "medium",
+    with_map=True)
+case("RDFC10EvalTest", "control characters via ECHAR and UCHAR", nq(
+    "<http://ex/s> <http://ex/p> \"cr:" + chr(92) + "r ff:" + chr(92)
+    + "u000C bell:" + chr(92) + "u0007\""), "low")
+case("RDFC10EvalTest", "literal that looks like N-Quads syntax", nq(
+    "<http://ex/s> <http://ex/p> \"<not-an-iri> " + chr(92)
+    + chr(34) + "quoted" + chr(92) + chr(34) + " _:not-a-bnode .\""),
+    "low")
+case("RDFC10EvalTest", "UCHAR-escaped IRI normalizes to code points", nq(
+    "<http://ex/" + chr(92) + "u00E9" + chr(92) + "U00010400> "
+    "<http://ex/p> \"v\""), "low")
+case("RDFC10EvalTest", "numeric and temporal datatypes pass through", nq(
+    "<http://ex/s> <http://ex/p> \"3.14\"^^<" + XSD + "decimal>",
+    "<http://ex/s> <http://ex/p> \"-0\"^^<" + XSD + "integer>",
+    "<http://ex/s> <http://ex/p> \"2024-01-01\"^^<" + XSD + "date>",
+    "<http://ex/s> <http://ex/p> \"true\"^^<" + XSD + "boolean>"), "low")
+case("RDFC10EvalTest", "language tag case preserved", nq(
+    "<http://ex/s> <http://ex/p> \"a\"@en-US",
+    "<http://ex/s> <http://ex/p> \"a\"@en-us",
+    "<http://ex/s> <http://ex/p> \"a\"@EN"), "low")
+case("RDFC10EvalTest", "chain of 16 (deep linear relabel)", nq(*[
+    "_:n%d <http://ex/next> _:n%d" % (i, i + 1) for i in range(16)]),
+    "medium", with_map=True)
+case("RDFC10EvalTest", "ground and bnode components side by side", nq(
+    "<http://ex/g1> <http://ex/p> <http://ex/g2>",
+    "_:x <http://ex/p> _:y",
+    "_:y <http://ex/p> \"leaf\"",
+    "<http://ex/g2> <http://ex/q> \"ground leaf\""), "low")
+case("RDFC10EvalTest", "bnode referenced from many graphs", nq(
+    "_:hub <http://ex/p> \"g0\"",
+    "_:hub <http://ex/p> \"g1\" <http://ex/g1>",
+    "_:hub <http://ex/p> \"g2\" <http://ex/g2>",
+    "_:hub <http://ex/p> \"g3\" _:galt",
+    "_:galt <http://ex/meta> \"alt graph\""), "medium", with_map=True)
+case("RDFC10EvalTest", "tab and mixed whitespace between terms",
+     "_:a" + chr(9) + "<http://ex/p>" + chr(9) + "\"v\" ." + chr(10)
+     + "  _:a   <http://ex/q>   \"w\"   ." + chr(10), "low")
+case("RDFC10EvalTest", "sha384 on an n-degree structure", nq(
+    "_:a0 <http://ex/p> _:a1", "_:a1 <http://ex/p> _:a0",
+    "_:b0 <http://ex/p> _:b1", "_:b1 <http://ex/p> _:b0"), "medium",
+    hash_algorithm="SHA384", with_map=True)
+case("RDFC10NegativeEvalTest", "malformed line is a parse error", nq(
+    "<http://ex/s> <http://ex/p> \"unterminated"), "low")
+case("RDFC10NegativeEvalTest", "bare subject token parse error",
+     "not-an-iri <http://ex/p> \"v\" ." + chr(10), "low")
+
 # --- non-default hash algorithms ---------------------------------------------
 case("RDFC10EvalTest", "sha384 digest", nq(
     "_:a <http://ex/p> _:b",
