@@ -339,11 +339,21 @@ def decontaminate(train_docs, benchmark_docs, n=DECONTAM_NGRAM,
 SEGMENT_WORDS = 12
 
 
+def _seg_tokens(text_col):
+    """THE segmentation tokenizer: every consumer (segment pass, tail
+    reconstruction, and the DuckDB oracles' string_split_regex twin)
+    must use this exact expression or segment boundaries silently
+    disagree."""
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
 def doc_segments(docs, words_per_seg=SEGMENT_WORDS, id_col="doc_id",
-                 text_col="text", extra_cols=()):
-    """(id, [extra], seg_idx, seg_hash): non-overlapping windows of
-    ``words_per_seg`` whitespace tokens, md5-hashed.  Only FULL
-    windows are emitted (a ragged tail is not a comparable unit).
+                 text_col="text", extra_cols=(), with_text=False):
+    """(id, [extra], seg_idx, seg_hash[, seg_text]): non-overlapping
+    windows of ``words_per_seg`` whitespace tokens, md5-hashed.  Only
+    FULL windows are emitted (a ragged tail is not a comparable unit);
+    ``with_text`` additionally carries the joined window text (for
+    consumers that rebuild documents, e.g. ``remove_boilerplate``).
 
     Window-ALIGNED segmentation: it catches whole-document duplicates
     and boilerplate that repeats from the same token offset; prose
@@ -351,7 +361,7 @@ def doc_segments(docs, words_per_seg=SEGMENT_WORDS, id_col="doc_id",
     (``lsh_candidates``).  Catalyst-only, zero joins: tokenize ->
     explode a seg-index sequence -> slice+hash.  At 100 TB this is one
     narrow pass over the text column."""
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = _seg_tokens(text_col)
     n_segs = F.floor(F.size(toks) / words_per_seg).cast("int")
     seg_ix = F.explode(F.sequence(F.lit(0), n_segs - 1))
     base = docs.filter(n_segs > 0).select(
@@ -368,9 +378,15 @@ def doc_segments(docs, words_per_seg=SEGMENT_WORDS, id_col="doc_id",
             words_per_seg,
         ),
     )
-    return base.select(
-        id_col, *extra_cols, "seg_idx", F.md5(seg_text).alias("seg_hash")
-    )
+    out_cols = [
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        F.col("seg_idx"),
+        F.md5(seg_text).alias("seg_hash"),
+    ]
+    if with_text:
+        out_cols.append(seg_text.alias("seg_text"))
+    return base.select(*out_cols)
 
 
 def paragraph_dedup(docs, words_per_seg=SEGMENT_WORDS):
@@ -438,30 +454,20 @@ def remove_boilerplate(docs, removal_df, words_per_seg=SEGMENT_WORDS):
     segmentation tokenizes, so reconstruction is from tokens.
 
     Emits (doc_id, source, cleaned_text, n_removed).  Shape: one
-    narrow segment pass, a broadcast anti-join against the (tiny)
-    removal list, one groupBy(doc) to reassemble -- the corpus text
-    crosses exactly one shuffle, keyed by the uniform doc id."""
-    toks = F.split(F.trim(F.col("text")), r"\s+")
+    narrow segment pass (``doc_segments`` -- the one segmentation
+    definition), a broadcast anti-join against the (tiny) removal
+    list, one groupBy(doc) to reassemble -- the corpus text crosses
+    exactly one shuffle, keyed by the uniform doc id."""
+    toks = _seg_tokens("text")
     base = docs.select(
         "doc_id",
         "source",
         toks.alias("__toks"),
         F.floor(F.size(toks) / words_per_seg).cast("int").alias("__n"),
     )
-    seg_ix = F.explode(F.sequence(F.lit(0), F.col("__n") - 1))
-    segs = base.filter(F.col("__n") > 0).select(
-        "doc_id", "source", "__toks", seg_ix.alias("seg_idx")
-    ).withColumn(
-        "seg_text",
-        F.concat_ws(
-            " ",
-            F.slice(
-                F.col("__toks"),
-                F.col("seg_idx") * words_per_seg + 1,
-                words_per_seg,
-            ),
-        ),
-    ).withColumn("seg_hash", F.md5(F.col("seg_text")))
+    segs = doc_segments(
+        docs, words_per_seg, extra_cols=("source",), with_text=True
+    )
     kept = segs.join(
         F.broadcast(removal_df.select("source", "seg_hash")),
         ["source", "seg_hash"],

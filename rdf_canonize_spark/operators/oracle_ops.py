@@ -578,19 +578,40 @@ SELECT query_id, vec_id, round(cosine, 6) AS cosine, rank
 FROM ranked WHERE rank <= {TOP_K}"""
 
 
+def _bucket_sql(v, planes):
+    """Hyperplane sign-pattern bucket as SQL -- the ONE definition all
+    hyperplane-LSH oracles share (single-table and banded)."""
+    bits = []
+    for row in planes:
+        lit = "[" + ", ".join(str(x) for x in row) + "]"
+        bits.append(
+            f"(CASE WHEN list_dot_product({v}, "
+            f"CAST({lit} AS DOUBLE[])) >= 0 "
+            f"THEN '1' ELSE '0' END)"
+        )
+    return " || ".join(bits)
+
+
+def _banded_buckets_sql(n_tables, bits):
+    """UNION ALL of per-table bucket selects over ``ed`` (seed =
+    HYPERPLANE_SEED + table), shared by both banded oracles."""
+    from .similarity import HYPERPLANE_SEED
+
+    selects = []
+    for t in range(n_tables):
+        planes = _hyperplanes(seed=HYPERPLANE_SEED + t, n=bits)
+        selects.append(
+            f"SELECT vec_id, {t} AS tbl, "
+            f"{_bucket_sql('v', planes)} AS bucket FROM ed"
+        )
+    return " UNION ALL ".join(selects)
+
+
 def embedding_near_dup_pairs(threshold=0.2):
     planes = _hyperplanes()
 
     def bucket(v):
-        bits = []
-        for row in planes:
-            lit = "[" + ", ".join(str(x) for x in row) + "]"
-            bits.append(
-                f"(CASE WHEN list_dot_product({v}, "
-                f"CAST({lit} AS DOUBLE[])) >= 0 "
-                f"THEN '1' ELSE '0' END)"
-            )
-        return " || ".join(bits)
+        return _bucket_sql(v, planes)
 
     return f"""WITH {_EMB_CTE},
 ed AS (SELECT * FROM e WHERE len(v) = {EMB_DIM}),
@@ -612,27 +633,7 @@ def embedding_near_dup_pairs_banded(threshold=0.2, n_tables=3, bits=6):
     pairs colliding in ANY of ``n_tables`` ``bits``-wide tables
     (seed = HYPERPLANE_SEED + t per table), verified by exact cosine.
     Mirrors similarity.embedding_near_dup_pairs(n_tables=, bits=)."""
-    from .similarity import HYPERPLANE_SEED
-
-    def bucket(v, planes):
-        out = []
-        for row in planes:
-            lit = "[" + ", ".join(str(x) for x in row) + "]"
-            out.append(
-                f"(CASE WHEN list_dot_product({v}, "
-                f"CAST({lit} AS DOUBLE[])) >= 0 "
-                f"THEN '1' ELSE '0' END)"
-            )
-        return " || ".join(out)
-
-    table_selects = []
-    for t in range(n_tables):
-        planes = _hyperplanes(seed=HYPERPLANE_SEED + t, n=bits)
-        table_selects.append(
-            f"SELECT vec_id, {t} AS tbl, {bucket('v', planes)} AS bucket "
-            f"FROM ed"
-        )
-    buckets_sql = " UNION ALL ".join(table_selects)
+    buckets_sql = _banded_buckets_sql(n_tables, bits)
     return f"""WITH {_EMB_CTE},
 ed AS (SELECT * FROM e WHERE len(v) = {EMB_DIM}),
 bk AS ({buckets_sql}),
@@ -658,27 +659,7 @@ def lsh_ann_topk_banded(n_tables=3, bits=6):
     """Banded multi-table hyperplane ANN: query-corpus candidates =
     collision in ANY table (dedup before rerank), exact cosine rerank.
     Mirrors similarity.lsh_ann_topk(n_tables=, bits=)."""
-    from .similarity import HYPERPLANE_SEED
-
-    def bucket(v, planes):
-        out = []
-        for row in planes:
-            lit = "[" + ", ".join(str(x) for x in row) + "]"
-            out.append(
-                f"(CASE WHEN list_dot_product({v}, "
-                f"CAST({lit} AS DOUBLE[])) >= 0 "
-                f"THEN '1' ELSE '0' END)"
-            )
-        return " || ".join(out)
-
-    table_selects = []
-    for t in range(n_tables):
-        planes = _hyperplanes(seed=HYPERPLANE_SEED + t, n=bits)
-        table_selects.append(
-            f"SELECT vec_id, {t} AS tbl, {bucket('v', planes)} AS bucket "
-            f"FROM ed"
-        )
-    buckets_sql = " UNION ALL ".join(table_selects)
+    buckets_sql = _banded_buckets_sql(n_tables, bits)
     return f"""WITH {_EMB_CTE},
 ed AS (SELECT * FROM e WHERE len(v) = {EMB_DIM}),
 bk AS ({buckets_sql}),
@@ -713,16 +694,10 @@ FROM ranked WHERE rank <= {TOP_K}"""
 
 def lsh_ann_topk():
     planes = _hyperplanes()
+
     def bucket(v):
-        bits = []
-        for row in planes:
-            lit = "[" + ", ".join(str(x) for x in row) + "]"
-            bits.append(
-                f"(CASE WHEN list_dot_product({v}, "
-                f"CAST({lit} AS DOUBLE[])) >= 0 "
-                f"THEN '1' ELSE '0' END)"
-            )
-        return " || ".join(bits)
+        return _bucket_sql(v, planes)
+
     return f"""WITH {_EMB_CTE},
 ed AS (SELECT * FROM e WHERE len(v) = {EMB_DIM}),
 eb AS (SELECT vec_id, v, {bucket('v')} AS bucket FROM ed),
@@ -758,6 +733,9 @@ toks AS (
 ),
 segs AS (
   SELECT {id_cols}, CAST(i AS INT) AS seg_idx,
+    array_to_string(
+      t[CAST(i AS BIGINT) * {w} + 1 : CAST(i AS BIGINT) * {w} + {w}],
+      ' ') AS seg_text,
     md5(array_to_string(
       t[CAST(i AS BIGINT) * {w} + 1 : CAST(i AS BIGINT) * {w} + {w}],
       ' ')) AS seg_hash
@@ -795,51 +773,13 @@ bcorpus AS (
 """
 
 
-def boilerplate_segments(w=SEGMENT_WORDS, min_docs=2, min_frac=0.05):
-    """Mirrors dedup.boilerplate_segments over documents + every-10th
-    exact repost (same source).  min_frac is interpolated via Python
-    repr for bit-identical DOUBLE comparison (CLAUDE.md recipe)."""
+def _boiler_ctes(w, min_docs, min_frac):
+    """bcorpus + segs + totals/counts + removal: the ONE removal-list
+    SQL both boilerplate oracles build on.  min_frac is interpolated
+    via Python repr for bit-identical DOUBLE comparison (CLAUDE.md
+    recipe)."""
     frac = repr(float(min_frac))
-    return f"""WITH {BOILER_CORPUS_CTE.strip()},{_segs_cte('bcorpus', 'doc_id, source', w)},
-totals AS (
-  SELECT source, COUNT(DISTINCT doc_id) AS total_docs FROM bcorpus
-  GROUP BY source
-),
-counts AS (
-  SELECT source, seg_hash, CAST(COUNT(*) AS BIGINT) AS n_docs FROM (
-    SELECT DISTINCT source, seg_hash, doc_id FROM segs
-  ) GROUP BY source, seg_hash
-)
-SELECT c.source, c.seg_hash, c.n_docs,
-  round(CAST(c.n_docs AS DOUBLE) / t.total_docs, 6) AS doc_frac
-FROM counts c JOIN totals t ON c.source = t.source
-WHERE c.n_docs >= {min_docs}
-  AND round(CAST(c.n_docs AS DOUBLE) / t.total_docs, 6)
-      >= CAST({frac} AS DOUBLE)"""
-
-
-def remove_boilerplate(w=SEGMENT_WORDS, min_docs=2, min_frac=0.05):
-    """Mirrors dedup.remove_boilerplate over the boilerplate corpus:
-    removal list from boilerplate_segments, text rebuilt from kept
-    segments (ORDER BY seg_idx) plus the ragged tail."""
-    frac = repr(float(min_frac))
-    ws = chr(92) + "s+"
-    return f"""WITH {BOILER_CORPUS_CTE.strip()},
-toks AS (
-  SELECT doc_id, source, string_split_regex(trim(text), '{ws}') AS t
-  FROM bcorpus
-),
-segs AS (
-  SELECT doc_id, source, CAST(i AS INT) AS seg_idx,
-    array_to_string(
-      t[CAST(i AS BIGINT) * {w} + 1 : CAST(i AS BIGINT) * {w} + {w}],
-      ' ') AS seg_text,
-    md5(array_to_string(
-      t[CAST(i AS BIGINT) * {w} + 1 : CAST(i AS BIGINT) * {w} + {w}],
-      ' ')) AS seg_hash
-  FROM toks, UNNEST(range(CAST(floor(len(t) / {w}) AS BIGINT))) AS u(i)
-  WHERE len(t) >= {w}
-),
+    return f"""{BOILER_CORPUS_CTE.strip()},{_segs_cte('bcorpus', 'doc_id, source', w)},
 totals AS (
   SELECT source, COUNT(DISTINCT doc_id) AS total_docs FROM bcorpus
   GROUP BY source
@@ -849,12 +789,31 @@ counts AS (
     SELECT DISTINCT source, seg_hash, doc_id FROM segs
   ) GROUP BY source, seg_hash
 ),
-removal AS (
-  SELECT c.source, c.seg_hash
+flagged AS (
+  SELECT c.source, c.seg_hash, c.n_docs,
+    round(CAST(c.n_docs AS DOUBLE) / t.total_docs, 6) AS doc_frac
   FROM counts c JOIN totals t ON c.source = t.source
   WHERE c.n_docs >= {min_docs}
     AND round(CAST(c.n_docs AS DOUBLE) / t.total_docs, 6)
         >= CAST({frac} AS DOUBLE)
+)"""
+
+
+def boilerplate_segments(w=SEGMENT_WORDS, min_docs=2, min_frac=0.05):
+    """Mirrors dedup.boilerplate_segments over documents + every-10th
+    exact repost (same source)."""
+    return f"""WITH {_boiler_ctes(w, min_docs, min_frac)}
+SELECT source, seg_hash, n_docs, doc_frac FROM flagged"""
+
+
+def remove_boilerplate(w=SEGMENT_WORDS, min_docs=2, min_frac=0.05):
+    """Mirrors dedup.remove_boilerplate over the boilerplate corpus:
+    removal list = the SHARED ``flagged`` CTE (same SQL
+    boilerplate_segments selects from), text rebuilt from kept
+    segments (ORDER BY seg_idx) plus the ragged tail."""
+    return f"""WITH {_boiler_ctes(w, min_docs, min_frac)},
+removal AS (
+  SELECT source, seg_hash FROM flagged
 ),
 kept AS (
   SELECT s.doc_id, s.seg_idx, s.seg_text

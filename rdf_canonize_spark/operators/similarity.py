@@ -309,12 +309,17 @@ def embedding_near_dup_candidates(emb, n_tables=1, bits=N_HYPERPLANES,
     ).select("vec_id", "table", "bucket")
     a = bk.select(F.col("vec_id").alias("vec_a"), "table", "bucket")
     b = bk.select(F.col("vec_id").alias("vec_b"), "table", "bucket")
-    return (
+    pairs = (
         a.join(b, ["table", "bucket"])
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b")
-        .distinct()
     )
+    if n_tables > 1:
+        # cross-table repeat collisions exist only with >1 table; at
+        # n_tables=1 a pair collides at most once, so the dedup
+        # shuffle would be a provable no-op
+        pairs = pairs.distinct()
+    return pairs
 
 
 def embedding_near_dup_pairs(spark, sf_dir, threshold=0.2, n_tables=1,
@@ -374,9 +379,13 @@ def lsh_ann_topk(spark, sf_dir, k=TOP_K, n_queries=N_QUERIES,
             & (F.col("vec_id") != F.col("query_id")),
         )
         .select("query_id", "vec_id")
-        .distinct()  # collapse multi-table collisions (narrow ids only)
     )
-    q_vecs = queries.select("query_id", "qv").distinct()
+    q_vecs = queries.select("query_id", "qv")
+    if n_tables > 1:
+        # collapse multi-table collisions (narrow ids only); at one
+        # table both frames are already duplicate-free
+        cand = cand.distinct()
+        q_vecs = q_vecs.distinct()
     scored = cand.join(F.broadcast(q_vecs), "query_id").join(
         emb.select("vec_id", "v"), "vec_id"
     ).withColumn(

@@ -51,14 +51,17 @@ def _spacesaving_partition(col, k):
                     vm = min(counters, key=counters.get)
                     m = counters.pop(vm)
                     counters[v] = m + c
-        # candidate rows (null count) + one partition-total row
-        # (null value) -- the total rides the same single pass
+        # candidate rows and the one partition-total row are emitted as
+        # SEPARATE frames: a None sentinel inside the key column would
+        # make pandas coerce int64 keys to float64, silently corrupting
+        # values above 2^53 before the exact recount join
         yield pd.DataFrame(
             {
-                col: list(counters.keys()) + [None],
-                "__partition_rows": [None] * len(counters) + [n_rows],
+                col: list(counters.keys()),
+                "__partition_rows": [None] * len(counters),
             }
         )
+        yield pd.DataFrame({col: [None], "__partition_rows": [n_rows]})
 
     return sketch
 

@@ -508,6 +508,20 @@ def hybrid_canonize_documents(quads_df, max_work_factor=3,
     """
     from ..operators import relational
 
+    if (
+        kwargs.get("message_digest_algorithm", "sha256") != "sha256"
+        or kwargs.get("kernel_fn") is not None
+    ):
+        # the relational fast path is sha256-only and kernel_fn by
+        # definition bypasses it: route EVERYTHING through the kernel
+        # rather than emit a silently mixed-algorithm union
+        out = canonize_documents(
+            quads_df, max_work_factor=max_work_factor, **kwargs
+        )
+        if with_routed:
+            out = out.withColumn("routed", F.lit("kernel"))
+        return out
+
     # the exact first-degree hash table feeds BOTH the routing
     # uniqueness check and the fast path's id issuance -- materialize
     # once (narrow url/bnode/hash rows, far smaller than the quads)

@@ -520,6 +520,15 @@ def test_heavy_hitters_two_pass_and_empty(spark):
     # output schema unchanged by the internal partition-total column
     assert [f.name for f in heavy_hitters(df, "key", 0.5).schema.fields] \
         == ["key", "n_occurrences"]
+    # int64 keys above 2^53: a float64 coercion in the sketch pass
+    # would corrupt them and silently drop the heavy hitter
+    big = 2 ** 53 + 3
+    bdf = spark.createDataFrame(
+        [(big,)] * 20 + [(i,) for i in range(30)], "key long"
+    ).repartition(4)
+    bgot = {r["key"]: r["n_occurrences"]
+            for r in heavy_hitters(bdf, "key", 0.2).collect()}
+    assert bgot == {big: 20}
 
 
 def test_bucketed_join_no_shuffle(spark, tmp_path, sf_dir):

@@ -574,3 +574,38 @@ def test_pluggable_kernel_seam(spark):
     with _pytest.raises(ValueError):
         canonize_documents(df, strategy="grouped",
                            kernel_fn=tagging_kernel)
+
+
+def test_hybrid_non_default_digest_routes_all_to_kernel(spark):
+    """A non-sha256 digest (or a custom kernel_fn) must not produce a
+    mixed-algorithm union: the relational fast path is sha256-only, so
+    hybrid routes everything through the kernel and matches
+    canonize_documents exactly."""
+    from rdf_canonize_spark.pipeline.canon_stage import (
+        canonize_documents,
+        hybrid_canonize_documents,
+    )
+
+    schema = ("url string, s_kind int, s string, p string, o_kind int, "
+              "o string, o_datatype string, o_lang string, g_kind int, "
+              "g string")
+    rows = [
+        ("u:1", 1, "b0", "http://x.example/p", 2, "v", None, None, 3, ""),
+        ("u:2", 0, "http://x.example/s", "http://x.example/p", 2, "w",
+         None, None, 3, ""),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    kern = {r["url"]: (r["nquads"], r["quads_hash"])
+            for r in canonize_documents(
+                df, strategy="repartition",
+                message_digest_algorithm="sha384").collect()}
+    hyb = hybrid_canonize_documents(
+        df, strategy="repartition",
+        message_digest_algorithm="sha384", with_routed=True,
+    ).collect()
+    assert {r["url"]: (r["nquads"], r["quads_hash"]) for r in hyb} == kern
+    assert all(r["routed"] == "kernel" for r in hyb)
+    # (canonical labels for these tiny docs coincide across digests --
+    # the digest's byte-effect on outputs is pinned by the
+    # digest-sha384/512 fixtures; here the contract under test is the
+    # all-kernel routing and exact kernel parity asserted above)
