@@ -98,7 +98,7 @@ case("RDFC10EvalTest", "blank node chain relabels in order", nq(
     "_:e0 <http://ex/p> \"leaf\""), "low", with_map=True)
 case("RDFC10EvalTest", "duplicate bnode quads collapse", nq(
     "_:a <http://ex/p> _:b",
-    "_:a <http://ex/p> _:b"), "low")
+    "_:a <http://ex/p> _:b"), "low", with_map=True)
 case("RDFC10EvalTest", "literal forms", nq(
     "<http://ex/s> <http://ex/p> \"plain\"",
     "<http://ex/s> <http://ex/p> \"typed\"^^<http://ex/dt>",
@@ -122,7 +122,7 @@ case("RDFC10EvalTest", "blank node graph label", nq(
     "_:g0 <http://ex/meta> \"graph\""), "low", with_map=True)
 case("RDFC10EvalTest", "same bnode across default and named graph", nq(
     "_:s <http://ex/p> \"in default\"",
-    "_:s <http://ex/p> \"in named\" <http://ex/g>"), "low")
+    "_:s <http://ex/p> \"in named\" <http://ex/g>"), "low", with_map=True)
 case("RDFC10EvalTest", "bnodes in subject, object, and graph position",
      nq("_:a <http://ex/p> _:b _:g",
         "_:b <http://ex/q> \"v\"",
@@ -159,7 +159,7 @@ case("RDFC10EvalTest", "grid 3x3 with grounding literal", nq(
        for i in range(3) for j in range(2)]
       + ["_:g%d%d <http://ex/d> _:g%d%d" % (i, j, i + 1, j)
          for i in range(2) for j in range(3)]
-      + ["_:g00 <http://ex/label> \"origin\""])), "medium")
+      + ["_:g00 <http://ex/label> \"origin\""])), "medium", with_map=True)
 case("RDFC10EvalTest", "isomorphic named-graph pairs", nq(
     "_:a <http://ex/p> _:b <http://ex/g1>",
     "_:b <http://ex/p> _:a <http://ex/g2>"), "medium", with_map=True)
@@ -176,7 +176,7 @@ case("RDFC10EvalTest", "star graph (hub + 5 leaves)", nq(*(
 case("RDFC10EvalTest", "binary tree depth 3", nq(*(
     ["_:t%d <http://ex/l> _:t%d" % (i, 2 * i + 1) for i in range(7)]
     + ["_:t%d <http://ex/r> _:t%d" % (i, 2 * i + 2) for i in range(7)])),
-    "medium")
+    "medium", with_map=True)
 case("RDFC10EvalTest", "three disjoint isomorphic chains", nq(*(
     ["_:%s0 <http://ex/n> _:%s1" % (p, p) for p in ("a", "b", "c")]
     + ["_:%s1 <http://ex/n> _:%s2" % (p, p) for p in ("a", "b", "c")])),
@@ -184,7 +184,7 @@ case("RDFC10EvalTest", "three disjoint isomorphic chains", nq(*(
 case("RDFC10EvalTest", "same triple in default and two named graphs",
      nq("_:x <http://ex/p> _:y",
         "_:x <http://ex/p> _:y <http://ex/g1>",
-        "_:x <http://ex/p> _:y <http://ex/g2>"), "medium")
+        "_:x <http://ex/p> _:y <http://ex/g2>"), "medium", with_map=True)
 case("RDFC10EvalTest", "literal-distinguished near-twins", nq(
     "_:a <http://ex/p> \"1\"",
     "_:b <http://ex/p> \"2\"",
@@ -256,7 +256,8 @@ case("RDFC10EvalTest", "sha384 digest", nq(
     with_map=True)
 case("RDFC10EvalTest", "sha512 digest twins", nq(
     "_:a0 <http://ex/p> _:a1",
-    "_:b0 <http://ex/p> _:b1"), "medium", hash_algorithm="SHA512")
+    "_:b0 <http://ex/p> _:b1"), "medium", hash_algorithm="SHA512",
+    with_map=True)
 
 # --- poison / complexity-gated (negative: MUST abort at the manifest's
 # complexity budget; test.js maps low->maxWorkFactor 0, medium->2) ------------
