@@ -818,3 +818,33 @@ def test_paragraph_dedup_and_boilerplate_planted(spark):
     assert cleaned[12]["cleaned_text"] == uniq("f") + " " + uniq("g")
     assert cleaned[12]["n_removed"] == 0
     assert cleaned[13]["cleaned_text"] == "tiny text"  # tail-only doc
+
+
+def test_remove_boilerplate_identity_on_random_docs(spark):
+    """Invariant: with an EMPTY removal list, remove_boilerplate is
+    exactly whitespace-normalization (every token survives in order),
+    and n_removed == 0 -- over seeded random docs of every shape
+    (empty, sub-window, window-aligned, ragged, messy whitespace)."""
+    import random
+
+    rng = random.Random(20260817)
+    rows = []
+    for i in range(100):
+        n = rng.randrange(0, 40)
+        words = [f"w{rng.randrange(50)}" for _ in range(n)]
+        sep = rng.choice([" ", "  ", "\t", " \t "])
+        pad = rng.choice(["", " ", "\t"])
+        rows.append((i, f"s{i % 3}", pad + sep.join(words) + pad))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    empty_removal = spark.createDataFrame(
+        [], "source string, seg_hash string"
+    )
+    got = {r["doc_id"]: r
+           for r in dedup.remove_boilerplate(docs, empty_removal).collect()}
+    assert len(got) == 100
+    for i, _, text in rows:
+        expect = " ".join(text.split())
+        assert got[i]["cleaned_text"] == expect, i
+        assert got[i]["n_removed"] == 0, i
