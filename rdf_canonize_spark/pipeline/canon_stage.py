@@ -446,6 +446,19 @@ def canonize_documents(
             "kernel_fn requires the 'colocated' or 'repartition' "
             "strategy (the Arrow kernel surface)"
         )
+    # refuse rather than silently ignore (same contract as the digest
+    # guard): only the Arrow kernel implements the per-document
+    # timeout, and the grouped strategy has no quad cap either
+    if doc_timeout_ms and strategy not in ("colocated", "repartition"):
+        raise ValueError(
+            "doc_timeout_ms requires the 'colocated' or 'repartition' "
+            "strategy"
+        )
+    if max_doc_quads and strategy == "grouped":
+        raise ValueError(
+            "max_doc_quads is not implemented for the 'grouped' "
+            "strategy (use colocated/colocated_pandas/repartition)"
+        )
     if strategy == "grouped":
         df = quads_df
         if num_partitions:
