@@ -848,3 +848,30 @@ def test_remove_boilerplate_identity_on_random_docs(spark):
         expect = " ".join(text.split())
         assert got[i]["cleaned_text"] == expect, i
         assert got[i]["n_removed"] == 0, i
+
+
+def test_heavy_hitters_drive_salted_join(spark):
+    """The documented composition (joins.py: 'size n_salts from the
+    heavy-hitter counts'): detect hot keys with heavy_hitters, salt
+    the join because one exists, and get exactly the plain-join
+    result on a corpus where one key holds half the rows."""
+    from rdf_canonize_spark.operators.joins import salted_join
+    from rdf_canonize_spark.operators.sketches import heavy_hitters
+
+    fact = spark.createDataFrame(
+        [(i, "hot" if i % 2 == 0 else f"k{i % 100}") for i in range(2000)],
+        "row_id int, key string",
+    ).repartition(8)
+    dim = spark.createDataFrame(
+        [("hot", "H")] + [(f"k{i}", f"v{i}") for i in range(100)],
+        "key string, val string",
+    )
+    hot = {r["key"]: r["n_occurrences"]
+           for r in heavy_hitters(fact, "key", 0.25).collect()}
+    assert hot == {"hot": 1000}  # detection found the skew
+    # salt factor sized from the detected hot-key share
+    n_salts = max(2, int(hot["hot"] / (2000 * 0.05)))
+    got = salted_join(fact, dim, "key", n_salts=n_salts, how="inner")
+    want = fact.join(dim, "key", "inner")
+    norm = lambda rows: sorted(tuple(map(str, r)) for r in rows)
+    assert norm(got.collect()) == norm(want.collect())
