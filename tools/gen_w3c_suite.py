@@ -259,6 +259,31 @@ case("RDFC10EvalTest", "sha512 digest twins", nq(
     "_:b0 <http://ex/p> _:b1"), "medium", hash_algorithm="SHA512",
     with_map=True)
 
+case("RDFC10EvalTest", "double circle of 4 with tails", nq(
+    *(["_:d%d <http://ex/n> _:d%d" % (i, (i + 1) % 4) for i in range(4)]
+      + ["_:d%d <http://ex/m> _:d%d" % ((i + 1) % 4, i) for i in range(4)]
+      + ["_:d%d <http://ex/tail> _:t%d" % (i, i) for i in range(4)])),
+    "medium", with_map=True)
+case("RDFC10EvalTest", "wide fan-in (8 bnodes to one sink)", nq(
+    *(["_:f%d <http://ex/to> _:sink" % i for i in range(8)]
+      + ["_:sink <http://ex/label> \"sink\""])), "medium", with_map=True)
+case("RDFC10EvalTest", "graph-position-only twins", nq(
+    "<http://ex/s> <http://ex/p> \"a\" _:ga",
+    "<http://ex/s> <http://ex/p> \"a\" _:gb"), "medium", with_map=True)
+case("RDFC10EvalTest", "datatype IRI with escapable characters", nq(
+    "<http://ex/s> <http://ex/p> \"v\"^^<http://ex/dt%20x" + chr(92)
+    + "u00E9>"), "low")
+case("RDFC10EvalTest", "self-loop bnode", nq(
+    "_:self <http://ex/p> _:self",
+    "_:self <http://ex/label> \"loop\""), "low", with_map=True)
+case("RDFC10EvalTest", "two self-loop twins", nq(
+    "_:s1 <http://ex/p> _:s1",
+    "_:s2 <http://ex/p> _:s2"), "medium", with_map=True)
+case("RDFC10EvalTest", "asymmetric weights on a symmetric cycle", nq(
+    "_:w0 <http://ex/n> _:w1", "_:w1 <http://ex/n> _:w2",
+    "_:w2 <http://ex/n> _:w3", "_:w3 <http://ex/n> _:w0",
+    "_:w0 <http://ex/mark> \"x\""), "medium", with_map=True)
+
 # --- poison / complexity-gated (negative: MUST abort at the manifest's
 # complexity budget; test.js maps low->maxWorkFactor 0, medium->2) ------------
 case("RDFC10NegativeEvalTest", "twins need deep iterations (wf0 aborts)",
