@@ -216,12 +216,32 @@ def main():
             "local4_quads_per_sec": round(tput4, 1),
             "local32_quads_per_sec": round(quads / sec32, 1),
         }
+        s32 = round((quads / sec32) / tput4, 3)
         result["scaling"] = {
             "n": 1,
             "four_n": 4,
             "efficiency": round(tput4 / (4 * tput1), 3),
-            "supplementary_4_to_32_speedup": round(
-                (quads / sec32) / tput4, 3
+            "supplementary_4_to_32_speedup": s32,
+        }
+        # Token-bucket health stamp: on this 32-core box a healthy run
+        # has local[32] comfortably beating local[4]; the hypervisor's
+        # CPU token bucket (BASELINE.md) makes 32 sustained cores
+        # SLOWER than 4 once burst credits drain.  4->32 speedup < 0.9
+        # is that signature -- the whole artifact (including the
+        # headline walls, which ran under the same bucket) is then
+        # self-labeled degraded rather than read as a plan regression.
+        result["bucket_health"] = {
+            "four_to_32_speedup": s32,
+            "status": "ok" if s32 >= 0.9 else "bucket-degraded",
+            "note": (
+                "4->32 speedup >= 0.9: burst credits available; "
+                "wall-clocks comparable across rounds"
+                if s32 >= 0.9
+                else "hypervisor CPU token bucket drained during this "
+                     "run (sustained cap ~21/32 cores, BASELINE.md); "
+                     "wall-clocks are NOT comparable across rounds -- "
+                     "the 1->4 efficiency legs (immune to the cap) "
+                     "remain valid"
             ),
         }
 
