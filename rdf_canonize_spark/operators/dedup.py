@@ -343,8 +343,12 @@ def _seg_tokens(text_col):
     """THE segmentation tokenizer: every consumer (segment pass, tail
     reconstruction, and the DuckDB oracles' string_split_regex twin)
     must use this exact expression or segment boundaries silently
-    disagree."""
-    return F.split(F.trim(F.col(text_col)), r"\s+")
+    disagree.  Whitespace is the EXPLICIT class from textstats (Java
+    \\s includes \\x0B, RE2 \\s does not -- engine-native \\s would
+    silently split \\x0B-bearing text differently on the two sides)."""
+    from .textstats import WS_CHARS
+
+    return F.split(F.trim(F.col(text_col)), "[" + WS_CHARS + "]+")
 
 
 def doc_segments(docs, words_per_seg=SEGMENT_WORDS, id_col="doc_id",

@@ -16,8 +16,10 @@ from .similarity import (
 from .textstats import (
     FINGERPRINT_WINDOW,
     LANG_ORDER,
+    NON_WORD_CLASS,
     STOPWORDS,
     TOKEN_PATTERN,
+    WS_CHARS,
 )
 
 CORPUS_CTE = """
@@ -236,7 +238,7 @@ def quality_score():
   SELECT doc_id,
     length(text) AS n_chars,
     len(string_split(text, ' ')) AS n_words,
-    len(string_split_regex(text, '[^a-zA-Z0-9\\s]')) - 1 AS n_punct,
+    len(string_split_regex(text, '{NON_WORD_CLASS}')) - 1 AS n_punct,
     len(list_filter(string_split(text, ' '),
         w -> list_contains({en}, w))) AS n_stop
   FROM documents
@@ -745,9 +747,12 @@ segs AS (
 
 
 def _segs_cte(src, id_cols, w=SEGMENT_WORDS):
-    # the regex literal is built with chr() so no raw backslash-s
-    # survives a file-write mangling (CLAUDE.md unicode constraint)
-    ws = chr(92) + "s+"
+    # EXPLICIT whitespace class, byte-identical to the Spark tokenizer
+    # (dedup._seg_tokens): engine-native backslash-s differs between
+    # Java (includes chr(11)) and RE2 (does not), so the shared class
+    # is interpolated as raw characters -- built with chr() arithmetic
+    # (CLAUDE.md unicode constraint)
+    ws = "[" + WS_CHARS + "]+"
     return _SEGS_TEMPLATE.format(src=src, id_cols=id_cols, w=w, ws=ws)
 
 

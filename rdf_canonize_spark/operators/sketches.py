@@ -70,7 +70,17 @@ def heavy_hitters(df, col, threshold):
     """All values of ``col`` with count > ``n_total * threshold``,
     with their exact counts.  Two passes over the data, one shuffle
     over only the candidate-keyed rows; the total row count is folded
-    into the sketch pass (no third scan)."""
+    into the sketch pass (no third scan).
+
+    PRECONDITION: ``col`` must be non-null (a null-keyed row can never
+    be reported).  This is structural, not incidental: pandas
+    ``value_counts`` drops nulls in the sketch, and NULL in the key
+    column is reserved as the partition-total sentinel row.  NULL rows
+    DO count toward ``n_total`` (the denominator), they just cannot
+    appear as a hitter -- a column whose hot key is NULL (e.g. a
+    mostly-unjoined left join) needs a separate
+    ``filter(col.isNull()).count()`` check, or map nulls to an
+    explicit sentinel value before calling."""
     k = int(math.ceil(1.0 / threshold))
     field = df.schema[col]
     out_schema = StructType(

@@ -16,8 +16,17 @@ STOPWORDS = {
 }
 LANG_ORDER = ["en", "de", "fr", "es"]
 
+# Whitespace as an EXPLICIT character class (space \t \n \x0B \f \r):
+# Java regex \s and DuckDB/RE2 \s disagree on \x0B (vertical tab), so
+# every tokenizer that has a DuckDB oracle twin spells the class out --
+# identical bytes on both engines.  Built with chr() arithmetic
+# (CLAUDE.md unicode file-write constraint); the class equals Java \s
+# exactly, so Spark-side behavior is unchanged.
+WS_CHARS = " " + chr(9) + chr(10) + chr(11) + chr(12) + chr(13)
+NON_WORD_CLASS = "[^a-zA-Z0-9" + WS_CHARS + "]"
+
 # BPE-ish token regex: word pieces, numbers, punctuation runs
-TOKEN_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+TOKEN_PATTERN = "[a-zA-Z]+|[0-9]+|" + NON_WORD_CLASS
 FINGERPRINT_WINDOW = 20
 
 
@@ -61,7 +70,7 @@ def quality_score(docs):
     n_chars = F.length("text")
     n_words = F.size(words)
     n_punct = F.size(
-        F.split(F.col("text"), r"[^a-zA-Z0-9\s]")
+        F.split(F.col("text"), NON_WORD_CLASS)
     ) - 1
     en = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
     stop_ratio = (

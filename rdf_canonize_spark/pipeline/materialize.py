@@ -144,7 +144,13 @@ def write_batch(canonical_df, out_dir, batch_id, fmt="parquet",
                 nonempty_hint=None):
     """Stage-then-commit batch write + manifest append.
 
-    The batch is written to ``batch=<id>.staging`` first; emptiness is
+    The batch is staged under ``<out>/_staging/batch=<id>`` first --
+    OUTSIDE the partitioned data root, and under an underscore-prefixed
+    directory that Spark/Hadoop partition discovery ignores anyway: a
+    crash between staging and commit must not leave a directory that a
+    whole-table read would pick up as a bogus ``batch='<id>.staging'``
+    partition (duplicating rows and flipping the inferred partition
+    type to string).  Emptiness is
     decided from the STAGED output (reading back parquet footers, not
     re-running the pipeline), so the whole write costs exactly ONE
     evaluation of the canonize plan -- no pre-probe scan.  An empty
@@ -170,7 +176,7 @@ def write_batch(canonical_df, out_dir, batch_id, fmt="parquet",
     data_path = os.path.join(out_dir, "canonical_nquads", f"batch={batch_id}")
     if nonempty_hint is False:
         return
-    staging = data_path + ".staging"
+    staging = os.path.join(out_dir, "_staging", f"batch={batch_id}")
     canonical_df.write.mode("overwrite").format(fmt).save(staging)
     fs, staging_p = _fs_for(spark, staging)
     if spark.read.format(fmt).load(staging).limit(1).count() == 0:
@@ -178,6 +184,9 @@ def write_batch(canonical_df, out_dir, batch_id, fmt="parquet",
         return
     _, data_p = _fs_for(spark, data_path)
     fs.delete(data_p, True)
+    # rename needs the destination parent to exist (first batch creates
+    # the canonical_nquads/ root here)
+    fs.mkdirs(data_p.getParent())
     if not fs.rename(staging_p, data_p):
         raise IOError(f"commit rename failed: {staging} -> {data_path}")
     done_urls = spark.read.format(fmt).load(data_path).select("url")

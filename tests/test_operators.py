@@ -820,6 +820,43 @@ def test_paragraph_dedup_and_boilerplate_planted(spark):
     assert cleaned[13]["cleaned_text"] == "tiny text"  # tail-only doc
 
 
+def test_segment_tokenizer_vertical_tab_parity(spark):
+    """chr(11) (vertical tab): Java regex backslash-s includes it, RE2
+    (DuckDB) backslash-s does not -- the shared EXPLICIT whitespace
+    class must make the Spark tokenizer and the DuckDB oracle twin
+    segment chr(11)-bearing text identically (seg_idx AND seg_hash)."""
+    import duckdb
+
+    from rdf_canonize_spark.operators import oracle_ops
+
+    words = [f"w{i}" for i in range(30)]
+    # first window split entirely by vertical tabs, second by spaces,
+    # plus a mixed-run separator and a ragged tail
+    text = (
+        chr(11).join(words[:12])
+        + " " + " ".join(words[12:24])
+        + chr(11) + chr(9) + chr(11) + " ".join(words[24:])
+    )
+    docs = spark.createDataFrame(
+        [(1, "s", text)], "doc_id long, source string, text string"
+    )
+    got = sorted(
+        (r["seg_idx"], r["seg_hash"])
+        for r in dedup.doc_segments(docs).collect()
+    )
+    assert len(got) == 2  # 30 tokens -> two full 12-word windows
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE src(doc_id BIGINT, text VARCHAR)")
+    con.execute("INSERT INTO src VALUES (1, ?)", [text])
+    sql = (
+        "WITH" + oracle_ops._segs_cte("src", "doc_id")
+        + "\nSELECT seg_idx, seg_hash FROM segs"
+    )
+    want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert got == want
+
+
 def test_remove_boilerplate_identity_on_random_docs(spark):
     """Invariant: with an EMPTY removal list, remove_boilerplate is
     exactly whitespace-normalization (every token survives in order),

@@ -176,6 +176,14 @@ def test_checkpoint_resume(spark, tmp_path):
     done = spark.read.parquet(f"{out}/canonical_nquads")
     assert done.select("url").distinct().count() == 30
     assert done.count() == 30
+    # crash-safety: a write that died between staging and commit leaves
+    # its directory under <out>/_staging, OUTSIDE the partitioned data
+    # root -- whole-table reads must not discover it as a bogus
+    # batch='<id>.staging' string partition (duplicating rows)
+    pages.limit(3).write.parquet(f"{out}/_staging/batch=7")
+    done = spark.read.parquet(f"{out}/canonical_nquads")
+    assert done.count() == 30
+    assert dict(done.dtypes)["batch"] == "int"
 
 
 def test_pages_from_documents(spark, sf_dir):
