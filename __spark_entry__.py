@@ -776,7 +776,19 @@ def q_ann_brute_force(spark, sf_dir):
 
 
 def q_ann_ivf(spark, sf_dir):
+    """Stride-centroid IVF (diagnostic configuration: K grows with
+    N/stride; kept for continuity with the round-2/3 artifacts --
+    ann_ivf_trained_topk is the scale path)."""
     return similarity.ivf_topk(spark, sf_dir)
+
+
+def q_ann_ivf_trained(spark, sf_dir):
+    """FIXED-K IVF -- the scale-correct configuration: centroids are
+    the deterministic init selection (k=16 regardless of corpus size),
+    so the broadcast assignment join stays N x 16 at any N.  Fully
+    oracle-checked (init selection, L2 argmin assignment, nprobe
+    probing, cosine rerank all bit-reproducible in SQL)."""
+    return similarity.ivf_trained_topk(spark, sf_dir)
 
 
 def q_ann_lsh(spark, sf_dir):
@@ -852,6 +864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_salted_join": q_lineitem_salted_join,
         "local_supplier_volume": q_local_supplier_volume,
         "canonize_incremental": q_canonize_incremental,
+        "ann_ivf_trained_topk": q_ann_ivf_trained,  # new in round 4
         "dedup_exact": q_dedup_exact,
         "paragraph_dedup": q_paragraph_dedup,
         "boilerplate_segments": q_boilerplate_segments,
@@ -929,6 +942,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_pack_sequences": oracle_ops.pack_sequences(),
         "ann_brute_force_topk": oracle_ops.brute_force_topk(),
         "ann_ivf_topk": oracle_ops.ivf_topk(),
+        "ann_ivf_trained_topk": oracle_ops.ivf_trained_topk(),
         "ann_lsh_topk": oracle_ops.lsh_ann_topk(),
         "ann_lsh_banded_topk": oracle_ops.lsh_ann_topk_banded(
             n_tables=3, bits=6

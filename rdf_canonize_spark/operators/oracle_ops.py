@@ -580,6 +580,74 @@ SELECT query_id, vec_id, round(cosine, 6) AS cosine, rank
 FROM ranked WHERE rank <= {TOP_K}"""
 
 
+def ivf_trained_topk(n_cells=16):
+    """Fixed-K IVF mirror (similarity.ivf_trained_topk): centroids =
+    the deterministic init selection -- global top-``n_cells`` rows by
+    (stride_match DESC, vec_id ASC) with stride = count // k (the
+    under-fill backfill falls out of the same ordering), cell_id =
+    rank - 1 -- then identical squared-L2 assignment, nprobe probing,
+    and cosine rerank as the stride-diagnostic oracle."""
+    from .similarity import CENTROID_MOD, NPROBE
+
+    d2 = (
+        "list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+        " + list_dot_product({b}, {b})"
+    )
+    return f"""WITH {_EMB_CTE},
+ed AS (SELECT * FROM e WHERE len(v) = {EMB_DIM}),
+p AS (
+  SELECT greatest(1, COUNT(*) // {n_cells}) AS stride FROM ed
+),
+cents AS (
+  SELECT CAST(rn - 1 AS INT) AS cell_id, cv FROM (
+    SELECT ed.v AS cv,
+      ROW_NUMBER() OVER (
+        ORDER BY (ed.vec_id % p.stride = {CENTROID_MOD} % p.stride)
+          DESC, ed.vec_id ASC
+      ) AS rn
+    FROM ed, p
+  ) WHERE rn <= {n_cells}
+),
+assigned AS (
+  SELECT vec_id, v, cell_id FROM (
+    SELECT ed.vec_id, ed.v, c.cell_id,
+      ROW_NUMBER() OVER (
+        PARTITION BY ed.vec_id
+        ORDER BY {d2.format(a='ed.v', b='c.cv')}, c.cell_id
+      ) AS rn
+    FROM ed, cents c
+  ) WHERE rn = 1
+),
+qd AS (SELECT query_id, qv FROM q WHERE len(qv) = {EMB_DIM}),
+probes AS (
+  SELECT query_id, qv, cell_id FROM (
+    SELECT qd.query_id, qd.qv, c.cell_id,
+      ROW_NUMBER() OVER (
+        PARTITION BY qd.query_id
+        ORDER BY {d2.format(a='qd.qv', b='c.cv')}, c.cell_id
+      ) AS cell_rank
+    FROM qd, cents c
+  ) WHERE cell_rank <= {NPROBE}
+),
+scored AS (
+  SELECT p2.query_id, a.vec_id,
+    list_dot_product(a.v, p2.qv) /
+      (sqrt(list_dot_product(a.v, a.v)) *
+       sqrt(list_dot_product(p2.qv, p2.qv))) AS cosine
+  FROM assigned a JOIN probes p2 ON a.cell_id = p2.cell_id
+  WHERE a.vec_id <> p2.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+    CAST(ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+    ) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, round(cosine, 6) AS cosine, rank
+FROM ranked WHERE rank <= {TOP_K}"""
+
+
 def _bucket_sql(v, planes):
     """Hyperplane sign-pattern bucket as SQL -- the ONE definition all
     hyperplane-LSH oracles share (single-table and banded)."""

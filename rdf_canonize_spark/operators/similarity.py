@@ -135,6 +135,51 @@ def centroids(emb, stride=CENTROID_STRIDE, mod=CENTROID_MOD):
     ).select(F.col("vec_id").alias("cell_id"), F.col("v").alias("cv"))
 
 
+IVF_K = 16  # fixed centroid count for the trained/init IVF paths
+
+
+def init_centroids(emb, k=IVF_K):
+    """Deterministic FIXED-K centroid table ``(cell_id, cv)`` -- the
+    Lloyd trainer's init pass, exposed standalone because it is both
+    deterministic AND SQL-reproducible (unlike trained means, whose
+    float summation is engine-ordered): centroids are corpus vectors
+    selected by a corpus-spread stride filter, ranked by vec_id.
+
+    This is the scale-correct IVF configuration: K is FIXED, so the
+    broadcast assignment join is N x K however large the corpus grows
+    (the ``centroids()`` stride sample, by contrast, grows K with
+    N/stride and is kept only as a diagnostic).
+
+    Under-fill guard: sparse/non-contiguous vec_ids can leave the
+    stride filter with fewer than ``k`` survivors; the selection
+    backfills with the smallest-vec_id rows so the table always has
+    ``min(k, |emb|)`` rows.  Selection = global top-k by
+    ``(stride_match DESC, vec_id ASC)``, computed scale-safely: the
+    candidate pool is stride matches UNION the k smallest vec_ids
+    (a TakeOrderedAndProject, no corpus-wide window), which provably
+    contains the global top-k under that ordering.
+    """
+    n = emb.count()
+    stride = max(1, n // k)
+    is_match = F.col("vec_id") % stride == CENTROID_MOD % stride
+    pool = (
+        emb.filter(is_match)
+        .unionByName(emb.orderBy("vec_id").limit(k))
+        .dropDuplicates(["vec_id"])
+    )
+    w = Window.orderBy(
+        is_match.cast("int").desc(), F.col("vec_id").asc()
+    )
+    return (
+        pool.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(
+            (F.col("__rn") - 1).alias("cell_id"),
+            F.col("v").alias("cv"),
+        )
+    )
+
+
 def train_centroids(emb, k=16, n_iter=5):
     """Deterministic Lloyd-trained centroid table ``(cell_id, cv)`` for
     ``ivf_topk(centroids_df=...)``: stride-sampled init (reproducible),
@@ -153,22 +198,9 @@ def train_centroids(emb, k=16, n_iter=5):
     Empty cells keep their previous centroid (coalesce), matching the
     standard Lloyd degenerate-cell convention."""
     emb = emb.filter(F.size("v") == EMB_DIM)
-    n = emb.count()
-    stride = max(1, n // k)
-    # stride-filter first (narrow, ~k survivors), THEN rank: the
-    # global row_number window runs over ~k rows, never the corpus
-    init = emb.filter(F.col("vec_id") % stride == CENTROID_MOD % stride)
-    cents = (
-        init.withColumn(
-            "__rn", F.row_number().over(Window.orderBy("vec_id"))
-        )
-        .filter(F.col("__rn") <= k)
-        .select(
-            (F.col("__rn") - 1).alias("cell_id"),
-            F.col("v").alias("cv"),
-        )
-        .localCheckpoint()
-    )
+    # init = the standalone deterministic fixed-K selection (with the
+    # sparse-vec_id backfill guard); see init_centroids
+    cents = init_centroids(emb, k=k).localCheckpoint()
     for _ in range(n_iter):
         assigned = assign_cells(emb, cents)
         # per-dimension F.sum columns: fully map-side-combinable (one
@@ -257,6 +289,26 @@ def ivf_topk(spark, sf_dir, k=TOP_K, n_queries=N_QUERIES,
         / (_norm(F.col("v")) * _norm(F.col("qv"))),
     )
     return _topk(scored, k)
+
+
+def ivf_trained_topk(spark, sf_dir, k=TOP_K, n_queries=N_QUERIES,
+                     nprobe=NPROBE, n_cells=IVF_K):
+    """The ORACLE-CHECKED scale configuration of IVF: ``ivf_topk``
+    over the deterministic fixed-K ``init_centroids`` table.  The
+    assignment join is N x ``n_cells`` with ``n_cells`` fixed -- the
+    shape that survives a 100 TB corpus -- and every arithmetic step
+    (stride init selection, squared-L2 argmin, cosine rerank) is
+    bit-reproducible in SQL, so the path carries a full DuckDB oracle
+    (``oracle_ops.ivf_trained_topk``).  The Lloyd-refined
+    ``train_centroids`` table plugs into the same ``ivf_topk``
+    signature when recall matters more than cross-engine
+    reproducibility."""
+    emb = _load(spark, sf_dir).filter(F.size("v") == EMB_DIM)
+    cents = init_centroids(emb, k=n_cells)
+    return ivf_topk(
+        spark, sf_dir, k=k, n_queries=n_queries, nprobe=nprobe,
+        centroids_df=cents,
+    )
 
 
 def _bucket_expr(vcol, bits=N_HYPERPLANES, seed=HYPERPLANE_SEED):

@@ -218,6 +218,43 @@ def test_train_centroids_and_external_ivf(spark, sf_dir):
     emb.unpersist()
 
 
+def test_init_centroids_fixed_k_and_backfill(spark, sf_dir):
+    """init_centroids (the oracle-checked fixed-K IVF configuration):
+    always yields exactly min(k, N) rows with cell_ids 0..k-1 -- and
+    when sparse/non-contiguous vec_ids leave the stride filter with
+    zero survivors, the backfill selects the smallest-vec_id vectors
+    (the advisor's under-fill finding)."""
+    emb = similarity._load(spark, sf_dir).filter(
+        F.size("v") == similarity.EMB_DIM
+    ).cache()
+    cents = similarity.init_centroids(emb, k=16)
+    rows = sorted(cents.collect(), key=lambda r: r["cell_id"])
+    assert [r["cell_id"] for r in rows] == list(range(16))
+
+    # every vec_id multiplied by 1000: even ids, so vec_id % stride
+    # (= 2 for n=40, k=16) never equals 13 % 2 -- zero stride matches,
+    # pure backfill
+    sparse = emb.limit(40).select(
+        (F.col("vec_id") * 1000).alias("vec_id"), "v", "label"
+    )
+    c2 = sorted(
+        similarity.init_centroids(sparse, k=16).collect(),
+        key=lambda r: r["cell_id"],
+    )
+    assert [r["cell_id"] for r in c2] == list(range(16))
+    want = [
+        r["v"]
+        for r in sparse.orderBy("vec_id").limit(16).collect()
+    ]
+    assert [r["cv"] for r in c2] == want
+
+    # and the trained-path entry point produces full ANN output
+    out = similarity.ivf_trained_topk(spark, sf_dir).collect()
+    assert len(out) == 50  # 10 queries x top-5
+    assert all(1 <= r["rank"] <= 5 for r in out)
+    emb.unpersist()
+
+
 def test_banded_hyperplane_lsh_semantics(spark, sf_dir):
     """Banded multi-table hyperplane LSH: (1) table 0 reproduces the
     original single-table buckets, so n_tables=1 keeps the contract
