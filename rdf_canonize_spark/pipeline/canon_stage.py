@@ -60,17 +60,41 @@ CANONICAL_SCHEMA = StructType(
 # chr(0) cannot shift field boundaries), and hashing lines before the
 # order-independent aggregation removes cross-line ambiguity.
 #
-# PRECONDITION (framing contract): no lone UTF-16 surrogates in any
-# field.  This side measures length via utf-8/surrogatepass while the
-# relational twin uses octet_length; for well-formed strings the two
-# agree byte-for-byte, but a lone surrogate encodes 3 surrogatepass
-# bytes that octet_length cannot see, silently flipping incremental
-# rows to recomputed=true.  Unreachable from the parquet pipeline
-# (parquet text is well-formed UTF-8); dataset-input callers must
-# route/reject surrogate-bearing rows before relying on kernel <->
-# relational input-hash parity.
+# ENFORCED (framing contract): kernel <-> relational input-hash parity
+# holds even for lone UTF-16 surrogates.  Spark normalizes every string
+# at DataFrame ingestion (UTF-16 code units: valid surrogate pairs
+# combine, each unpaired surrogate becomes one U+FFFD -- measured
+# empirically: 'a\\ud800b' round-trips as 'a<U+FFFD>b', octet_length
+# 5), so the relational twin can only ever see the normalized form.
+# ``_jvm_text`` applies the SAME normalization here before framing, so
+# a dataset-input caller who computes a prior input_hash through the
+# pure-Python kernel and later compares it against the relational
+# ``input_quads_hash`` of the ingested rows gets byte-equal hashes --
+# no silent ``recomputed=true`` flip (pinned by
+# tests/test_pipeline_spark.py::test_lone_surrogate_input_hash_parity).
+# Canonicalization itself is NOT normalized: the rdfc core preserves
+# raw surrogates for byte-parity with the reference.
 _SEP = chr(31)
 _NULL = chr(0)
+
+
+def _jvm_text(s):
+    """Normalize a str exactly as Spark DataFrame ingestion does:
+    each surrogate CODE POINT becomes one U+FFFD.  (Python strings
+    carry surrogates only as individual code points -- the pickle
+    transport encodes each as a separate 3-byte CESU-8 sequence and
+    the JVM decoder substitutes one U+FFFD per sequence, measured
+    empirically for both a lone surrogate and an adjacent
+    high+low pair, which does NOT recombine.)  Well-formed strings
+    return unchanged via the strict-encode fast path."""
+    try:
+        s.encode("utf-8")
+        return s
+    except UnicodeEncodeError:
+        return "".join(
+            chr(0xFFFD) if 0xD800 <= ord(c) <= 0xDFFF else c
+            for c in s
+        )
 
 
 def input_hash_of_rows(rows):
@@ -83,14 +107,10 @@ def input_hash_of_rows(rows):
             if v is None:
                 parts.append(_NULL)
             else:
-                s = str(v)
-                parts.append(
-                    "%d:%s" % (len(s.encode("utf-8", "surrogatepass")), s)
-                )
+                s = _jvm_text(str(v))
+                parts.append("%d:%s" % (len(s.encode("utf-8")), s))
         digests.add(
-            hashlib.sha256(
-                _SEP.join(parts).encode("utf-8", "surrogatepass")
-            ).hexdigest()
+            hashlib.sha256(_SEP.join(parts).encode("utf-8")).hexdigest()
         )
     return hashlib.sha256("".join(sorted(digests)).encode()).hexdigest()
 
