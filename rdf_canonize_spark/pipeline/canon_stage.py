@@ -414,6 +414,25 @@ def make_canonize_arrow_fn(max_work_factor=3, doc_timeout_ms=0,
     return canonize_partition
 
 
+# Measured hybrid/kernel crossover (tools/head2head A/B, SCALE.md): at
+# low parallelism the JVM-side hybrid router wins because per-core
+# Python kernel throughput is the bottleneck (router 1.50x faster at
+# local[2], 1.19x at local[4]); at high parallelism the Arrow kernel
+# wins because its zero-shuffle colocated stage outscales the router's
+# eligibility joins (kernel 1/0.75x faster at local[32]).  The router
+# margin shrinks ~1.5 -> ~1.2 from 2 to 4 cores, extrapolating to
+# parity around 8 -- so 'auto' routes below that to the hybrid and at
+# or above it to the kernel.
+AUTO_HYBRID_MAX_CORES = 7
+
+
+def select_canonize_strategy(cores):
+    """The 'auto' heuristic as a pure function (pinned by tests on
+    both measured regimes): 'hybrid' when the session has few cores,
+    'colocated' (Arrow kernel) otherwise."""
+    return "hybrid" if cores <= AUTO_HYBRID_MAX_CORES else "colocated"
+
+
 def canonize_documents(
     quads_df,
     max_work_factor=3,
@@ -449,7 +468,26 @@ def canonize_documents(
       uniform, so no skew handling is needed on this key.
     * ``'grouped'`` -- reference-shaped ``groupBy.applyInPandas``; one
       Python call per document.  Kept for differential testing.
+    * ``'auto'`` -- pick per the measured crossover
+      (``select_canonize_strategy``): the hybrid SQL router on
+      low-core sessions, the colocated Arrow kernel otherwise.  Both
+      arms produce identical bytes (pinned by
+      test_hybrid_router_byte_equals_kernel), so the choice is purely
+      a throughput decision.
     """
+    if strategy == "auto":
+        cores = quads_df.sparkSession.sparkContext.defaultParallelism
+        if select_canonize_strategy(cores) == "hybrid":
+            return hybrid_canonize_documents(
+                quads_df,
+                max_work_factor=max_work_factor,
+                num_partitions=num_partitions,
+                doc_timeout_ms=doc_timeout_ms,
+                max_doc_quads=max_doc_quads,
+                message_digest_algorithm=message_digest_algorithm,
+                kernel_fn=kernel_fn,
+            )
+        strategy = "colocated"
     if message_digest_algorithm != "sha256" and strategy not in (
         "colocated", "repartition"
     ):

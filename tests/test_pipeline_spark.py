@@ -330,6 +330,38 @@ def test_incremental_canonize_recomputes_only_changed(spark, pages):
     quads1.unpersist(); prior.unpersist(); inc.unpersist()
 
 
+def test_auto_strategy_selection(spark, pages):
+    """strategy='auto' encodes the measured hybrid/kernel crossover:
+    hybrid router below 8 cores (router wins 1.50x at local[2], 1.19x
+    at local[4]), colocated Arrow kernel at or above (kernel wins at
+    local[32]) -- pinned on both regimes via the pure heuristic, plus
+    an integration check that the local[4] test session actually
+    dispatches to the hybrid plan and matches the kernel's bytes."""
+    from rdf_canonize_spark.pipeline.canon_stage import (
+        select_canonize_strategy,
+    )
+    from rdf_canonize_spark.pipeline.link import build_quads, gazetteer_df
+
+    for cores, want in ((1, "hybrid"), (2, "hybrid"), (4, "hybrid"),
+                        (8, "colocated"), (32, "colocated")):
+        assert select_canonize_strategy(cores) == want, cores
+
+    quads = build_quads(pages, gazetteer_df(spark)).cache()
+    auto = canonize_documents(quads, max_work_factor=3, strategy="auto")
+    kernel = canonize_documents(quads, max_work_factor=3)
+    # the local[4] session must have dispatched to the hybrid router:
+    # its plan is a Union of the SQL fast path and the kernel branch
+    assert spark.sparkContext.defaultParallelism == 4
+    auto_plan = auto._jdf.queryExecution().analyzed().toString()
+    kernel_plan = kernel._jdf.queryExecution().analyzed().toString()
+    assert "Union" in auto_plan
+    assert "Union" not in kernel_plan
+    a = {r["url"]: _canon_key(r) for r in auto.collect()}
+    b = {r["url"]: _canon_key(r) for r in kernel.collect()}
+    assert a == b
+    quads.unpersist()
+
+
 def test_lone_surrogate_input_hash_parity(spark):
     """Framing-contract enforcement (round-3 judge residual): a
     dataset-input caller whose quad strings carry lone UTF-16
