@@ -71,8 +71,27 @@ def start_crawl_rate_stream(spark, in_dir, out_dir, window="10 minutes",
     )
 
 
-def start_canonize_stream(spark, in_dir, out_dir, max_work_factor=3):
-    """pages stream -> canonical N-Quads parquet, exactly-once."""
+def start_canonize_stream(spark, in_dir, out_dir, max_work_factor=3,
+                          fault_injector=None):
+    """pages stream -> canonical N-Quads parquet, exactly-once.
+
+    ``foreachBatch`` is at-least-once per batch: a crash after the
+    data write but before the streaming checkpoint commits replays the
+    whole batch on restart, so a naive ``mode('append')`` sink
+    double-writes exactly the batch that died.  Each batch therefore
+    writes with ``mode('overwrite')`` into its OWN partition directory
+    ``canonical_nquads_stream/batch_id=<id>`` -- the standard
+    idempotent-foreachBatch recipe: the replayed batch (same batch_id,
+    same source offsets, hence same documents) overwrites its partial
+    predecessor instead of appending beside it.  Readers load the root
+    and see ``batch_id`` as a partition column.
+
+    ``fault_injector``: test hook called with ``batch_id`` AFTER the
+    batch's write and BEFORE the checkpoint commit -- raising inside
+    it simulates a crash in precisely the window the idempotent write
+    exists for (tests/test_plans_and_streaming.py kills batch 1 and
+    asserts the restart produces exactly-once output).
+    """
     from ..pipeline.canon_stage import canonize_documents
     from ..pipeline.link import build_quads, gazetteer_df
 
@@ -85,9 +104,16 @@ def start_canonize_stream(spark, in_dir, out_dir, max_work_factor=3):
             quads, max_work_factor=max_work_factor
         )
         (
-            canonical.write.mode("append")
-            .parquet(os.path.join(out_dir, "canonical_nquads_stream"))
+            canonical.write.mode("overwrite")
+            .parquet(
+                os.path.join(
+                    out_dir, "canonical_nquads_stream",
+                    f"batch_id={batch_id}",
+                )
+            )
         )
+        if fault_injector is not None:
+            fault_injector(batch_id)
 
     return (
         pages.writeStream.foreachBatch(process_batch)

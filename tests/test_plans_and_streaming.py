@@ -80,6 +80,47 @@ def test_streaming_canonize_exactly_once(spark, tmp_path):
     ).count() == 40
 
 
+def test_streaming_canonize_crash_replay_exactly_once(spark, tmp_path):
+    """Failure injection: kill the canonize stream AFTER a batch's
+    data write but BEFORE its checkpoint commit -- exactly the window
+    where an append sink would double-write that batch on replay --
+    then restart from the same checkpoint and assert exactly-once
+    output (the idempotent per-batch overwrite absorbs the replay)."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from rdf_canonize_spark.streaming.ingest import start_canonize_stream
+
+    in_dir = str(tmp_path / "pages_in")
+    out_dir = str(tmp_path / "stream_out")
+    synthesize_pages(spark, 40).repartition(8).write.parquet(in_dir)
+
+    fired = {}
+
+    def injector(batch_id):
+        if batch_id >= 1 and not fired:
+            fired["batch_id"] = batch_id
+            raise RuntimeError("injected crash after batch write")
+
+    q = start_canonize_stream(
+        spark, in_dir, out_dir, fault_injector=injector
+    )
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination(timeout=300)
+    assert fired, "injector never fired -- stream ran as one batch?"
+    # the killed batch's data IS on disk (that's the hazard being
+    # tested) while its checkpoint commit is not
+    partial = spark.read.parquet(f"{out_dir}/canonical_nquads_stream")
+    assert partial.count() > 0
+
+    q2 = start_canonize_stream(spark, in_dir, out_dir)
+    q2.awaitTermination(timeout=300)
+    got = spark.read.parquet(f"{out_dir}/canonical_nquads_stream")
+    assert got.count() == 40
+    assert got.select("url").distinct().count() == 40
+    assert got.filter("error is not null").count() == 0
+
+
 def test_streaming_watermark_windowed_agg(spark, tmp_path):
     """Watermarked window agg over the crawl stream: on-time windows
     finalize; a second batch of strictly-later events closes earlier
