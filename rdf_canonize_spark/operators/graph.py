@@ -1,27 +1,33 @@
 """Iterative graph algorithms over the entity graph.
 
-Connected components via hash-min label propagation: every node starts
-labeled with itself; each round every node takes the min label in its
-closed neighborhood; converged when no label changes.  Rounds needed =
-graph diameter (co-mention graphs are small-world, so typically <10).
+Connected components, two algorithms behind one signature:
+
+* ``'star'`` (default) -- two-phase large-star/small-star contraction
+  (Kiveris et al., "Connected Components in MapReduce and Beyond"):
+  alternating rounds rewrite the EDGE SET toward stars centered at
+  each component's minimum node, converging in O(log^2 n) rounds
+  regardless of diameter.  This is the 100 TB default: the mandate
+  includes power-law web graphs whose long chains stall a
+  diameter-round propagation.
+* ``'hashmin'`` -- min-label propagation: every node takes the min
+  label in its closed neighborhood each round; rounds needed = graph
+  diameter + 1.  One shuffle per round (vs the star variant's two
+  groupBys + distinct), so it still wins on known-shallow graphs.
 
 Scale notes (the 100 TB contract):
 
-* each round is one shuffle (groupBy dst) over the edge list -- no
+* every round is edge-keyed shuffles over the edge list -- no
   driver-side adjacency, no collect;
 * ``localCheckpoint`` every round truncates the lineage, otherwise the
   plan doubles per iteration and the DAG scheduler, not the data,
   becomes the bottleneck;
-* convergence check is a single count of changed labels (cheap agg);
-* for power-law graphs at extreme scale the large-star/small-star
-  variant (Kiveris et al., "Connected Components in MapReduce") halves
-  round count; plain hash-min is kept here because entity graphs
-  converge in single-digit rounds and each round is one shuffle either
-  way.
+* convergence checks are single aggregates (changed-label count for
+  hashmin; an (edge-count, hash-sum) signature for star).
 
-The driver-contract query ``entity_components`` oracle-checks this
-against a DuckDB recursive CTE (transitive closure + MIN) -- exact
-equality, since min-label is order-independent.
+Both algorithms produce component = min node id, so the driver-contract
+query ``entity_components`` oracle-checks either against the same
+DuckDB recursive CTE (transitive closure + MIN) -- exact equality,
+since min-label is order-independent.
 """
 
 from __future__ import annotations
@@ -29,20 +35,28 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 
-def connected_components(edges_df, src="src", dst="dst", max_iter=25):
+def connected_components(edges_df, src="src", dst="dst", max_iter=25,
+                         algorithm="star"):
     """(node, component) for the undirected graph of ``edges_df``;
     component = min node id (lexicographic for strings) in the
     component.  Isolated endpoints appear with themselves as component.
 
-    Convergence is detected by a zero-change round, so ``max_iter``
-    must be at least graph diameter + 1: labels stop changing after
-    ``diameter`` rounds and one further round observes that.
+    ``algorithm='star'`` (default) converges in O(log^2 n) rounds on
+    any topology; ``'hashmin'`` needs diameter + 1 rounds (the final
+    round observes zero changes) and is kept for known-shallow graphs
+    where its single shuffle per round is cheaper.  Both raise rather
+    than silently return split components when ``max_iter`` is too
+    small.
     """
     if max_iter < 1:
         raise ValueError(
             "connected_components needs max_iter >= 1 (convergence "
             "detection requires at least one propagation round)"
         )
+    if algorithm == "star":
+        return _cc_star(edges_df, src, dst, max_iter)
+    if algorithm != "hashmin":
+        raise ValueError(f"unknown algorithm: {algorithm}")
     e = edges_df.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     und = e.unionByName(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -85,6 +99,116 @@ def connected_components(edges_df, src="src", dst="dst", max_iter=25):
             f"max_iter >= graph diameter + 1"
         )
     return labels.select("node", F.col("label").alias("component"))
+
+
+def _cc_star(edges_df, src, dst, max_iter):
+    """Two-phase large-star/small-star contraction (Kiveris et al.):
+
+    * large-star: for every node u (over the symmetrized edge list),
+      connect each strictly-larger neighbor to
+      m = min(neighborhood(u) + {u});
+    * small-star: orient each edge toward its larger endpoint u and
+      connect u and its smaller neighbors to their minimum.
+
+    Each round rewrites the edge set (canonicalized to unordered
+    (min, max) pairs, self-loops dropped); the alternation provably
+    converges to star graphs centered at each component's minimum
+    node in O(log^2 n) rounds on any topology -- the property that
+    matters for power-law web graphs whose diameter stalls hash-min.
+
+    Convergence is detected by an unchanged (edge-count,
+    xxhash64-sum) signature between consecutive rounds -- one tiny
+    aggregate, never a corpus-sized exceptAll join (a 2^-64 collision
+    would be needed to stop early, against non-adversarial round
+    outputs).  At the fixpoint every edge is (component-min, member),
+    so labels read directly off the edge set.
+    """
+    e = edges_df.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    cur = (
+        e.filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"),
+            F.greatest("a", "b").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_sig = None
+    converged = cur.isEmpty()  # edgeless graph: nothing to contract
+    for _ in range(max_iter):
+        if converged:
+            break
+        sym = cur.unionByName(
+            cur.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        # large-star: m(u) = min over the closed neighborhood; emit
+        # (v, m(u)) for neighbors v > u
+        mins = (
+            sym.groupBy("a")
+            .agg(F.min("b").alias("mn"))
+            .select("a", F.least("a", F.col("mn")).alias("m"))
+        )
+        large = (
+            sym.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .filter(F.col("b") != F.col("m"))
+            .select(
+                F.least("b", "m").alias("a"),
+                F.greatest("b", "m").alias("b"),
+            )
+            .distinct()
+        )
+        # small-star: per larger endpoint b, connect b and all its
+        # smaller neighbors to their minimum (rows are (a<b) already)
+        mins2 = large.groupBy("b").agg(F.min("a").alias("m"))
+        small = (
+            large.join(mins2, "b")
+            .select(F.col("m").alias("a"), F.col("a").alias("b"))
+            .unionByName(
+                mins2.select(F.col("m").alias("a"), F.col("b"))
+            )
+        )
+        cur = (
+            small.filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # hash-sum in decimal(38,0): a long sum overflows under ANSI
+        # mode once enough 64-bit terms accumulate
+        sig_row = cur.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("h"),
+        ).collect()[0]
+        sig = (sig_row["n"], sig_row["h"])
+        if sig == prev_sig:
+            converged = True
+        prev_sig = sig
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"star-contraction rounds; raise max_iter (O(log^2 n) "
+            f"rounds suffice on any topology)"
+        )
+    # fixpoint: cur = (component-min, member) star edges
+    labels = nodes.join(
+        cur.select(
+            F.col("b").alias("node"), F.col("a").alias("component")
+        ),
+        "node",
+        "left",
+    )
+    return labels.select(
+        "node", F.coalesce("component", F.col("node")).alias("component")
+    )
 
 
 def pagerank(edges_df, src="src", dst="dst", n_iter=10, damping=0.85):

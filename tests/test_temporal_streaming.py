@@ -98,20 +98,82 @@ def test_connected_components_raises_when_unconverged(spark):
 
     from rdf_canonize_spark.operators.graph import connected_components
 
-    # a 12-node chain needs ~11 rounds; max_iter=2 cannot converge and
-    # must raise instead of silently returning split components
+    # a 12-node chain needs ~11 rounds under hash-min; max_iter=2
+    # cannot converge and must raise instead of silently returning
+    # split components (same contract for the star variant at
+    # max_iter=1)
     chain = spark.createDataFrame(
         [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(11)],
         "src string, dst string",
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(chain, max_iter=2)
+        connected_components(chain, max_iter=2, algorithm="hashmin")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=1, algorithm="star")
     # and with enough rounds the same graph converges to one component
     labels = {
         r["node"]: r["component"]
-        for r in connected_components(chain, max_iter=15).collect()
+        for r in connected_components(
+            chain, max_iter=15, algorithm="hashmin"
+        ).collect()
     }
     assert set(labels.values()) == {"n00"}
+
+
+def test_connected_components_star_high_diameter(spark):
+    """Planted high-diameter graph (the 100 TB mandate includes
+    power-law web graphs with long chains): a 200-node path needs
+    ~200 rounds under diameter-bound hash-min -- beyond the default
+    budget -- while the default two-phase star contraction converges
+    within it (O(log^2 n) rounds) and labels every node with the
+    component minimum."""
+    import pytest
+
+    from rdf_canonize_spark.operators.graph import connected_components
+
+    n = 200
+    chain = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(n - 1)],
+        "src string, dst string",
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, algorithm="hashmin")
+    labels = {
+        r["node"]: r["component"]
+        for r in connected_components(chain).collect()
+    }
+    assert len(labels) == n
+    assert set(labels.values()) == {"n000"}
+
+
+def test_connected_components_star_equals_hashmin(spark):
+    """The two algorithms are exchangeable: identical (node,
+    component) output on a seeded random graph with several
+    components, an isolated self-loop node, and duplicate/reversed
+    edges."""
+    import random
+
+    from rdf_canonize_spark.operators.graph import connected_components
+
+    rng = random.Random(20260817)
+    edges = [("iso", "iso")]
+    for comp in range(5):
+        members = [f"c{comp}_{i:02d}" for i in range(rng.randint(2, 12))]
+        for m in members[1:]:
+            other = rng.choice(members)
+            edges.append((m, other) if rng.random() < 0.5 else (other, m))
+    edges += [(b, a) for a, b in rng.sample(edges, 5)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    star = {
+        (r["node"], r["component"])
+        for r in connected_components(df, algorithm="star").collect()
+    }
+    hm = {
+        (r["node"], r["component"])
+        for r in connected_components(df, algorithm="hashmin").collect()
+    }
+    assert star == hm
+    assert ("iso", "iso") in star
 
 
 def test_close_event_pairs_exact_and_duplicate_free(spark):
