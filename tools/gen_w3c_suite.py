@@ -304,6 +304,57 @@ case("RDFC10NegativeEvalTest",
             for i in range(5)])), "low")
 
 
+# --- duplicate-quads map family (round-4 expansion: the official
+# suite's duplicate tests exercise the map surface too) -----------------------
+case("RDFC10EvalTest", "triple duplicates collapse before hashing", nq(
+    "_:a <http://ex/p> _:b", "_:a <http://ex/p> _:b",
+    "_:a <http://ex/p> _:b",
+    "_:b <http://ex/leaf> \"v\""), "low", with_map=True)
+case("RDFC10EvalTest", "duplicates collapse per graph, not across", nq(
+    "_:a <http://ex/p> _:b",
+    "_:a <http://ex/p> _:b <http://ex/g>",
+    "_:a <http://ex/p> _:b <http://ex/g>"), "medium", with_map=True)
+case("RDFC10EvalTest", "datatype-distinguished near-duplicates persist",
+     nq("_:a <http://ex/p> \"1\"",
+        "_:a <http://ex/p> \"1\"^^<" + XSD + "integer>",
+        "_:a <http://ex/p> \"1\"@en"), "low", with_map=True)
+case("RDFC10EvalTest", "duplicate quads in a blank-node graph collapse",
+     nq("_:s <http://ex/p> \"v\" _:g", "_:s <http://ex/p> \"v\" _:g",
+        "_:g <http://ex/meta> \"m\""), "low", with_map=True)
+
+# --- hashAlgorithm variants across map tests (all reference alias
+# spellings: bare-upper, dashed, lower) ---------------------------------------
+case("RDFC10EvalTest", "explicit SHA256 alias equals the default", nq(
+    "_:a <http://ex/p> _:b", "_:b <http://ex/q> _:a"), "medium",
+    hash_algorithm="SHA256", with_map=True)
+case("RDFC10EvalTest", "dashed SHA-384 alias on twins", nq(
+    "_:a0 <http://ex/p> _:a1",
+    "_:b0 <http://ex/p> _:b1"), "medium", hash_algorithm="SHA-384",
+    with_map=True)
+case("RDFC10EvalTest", "sha512 map over a named-graph 3-cycle", nq(
+    "_:c0 <http://ex/n> _:c1 <http://ex/g>",
+    "_:c1 <http://ex/n> _:c2 <http://ex/g>",
+    "_:c2 <http://ex/n> _:c0 <http://ex/g>"), "medium",
+    hash_algorithm="sha512", with_map=True)
+
+# --- additional isomorphic structures ----------------------------------------
+case("RDFC10EvalTest", "cube graph Q3 (3-regular, single orbit)", nq(*(
+    ["_:q%d <http://ex/e> _:q%d" % (i, i ^ 1) for i in range(8)]
+    + ["_:q%d <http://ex/e> _:q%d" % (i, i ^ 2) for i in range(8)]
+    + ["_:q%d <http://ex/e> _:q%d" % (i, i ^ 4) for i in range(8)])),
+    "high", with_map=True)
+case("RDFC10EvalTest", "complete bipartite K2,3", nq(*[
+    "_:u%d <http://ex/e> _:v%d" % (i, j)
+    for i in range(2) for j in range(3)]), "high", with_map=True)
+case("RDFC10EvalTest", "cycle of 12 with one chord", nq(*(
+    ["_:r%02d <http://ex/n> _:r%02d" % (i, (i + 1) % 12)
+     for i in range(12)]
+    + ["_:r00 <http://ex/chord> _:r06"])), "medium", with_map=True)
+case("RDFC10NegativeEvalTest", "bipartite 4x4 poison at medium budget",
+     nq(*["_:u%d <http://ex/e> _:v%d" % (i, j)
+          for i in range(4) for j in range(4)]), "medium")
+
+
 def main():
     rdfc10_dir = os.path.join(OUT, "rdfc10")
     if os.path.isdir(rdfc10_dir):
