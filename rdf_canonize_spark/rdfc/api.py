@@ -20,9 +20,27 @@ Spark UDF).
 
 from __future__ import annotations
 
+import os
+import warnings
+
 from .canonize import RDFC10
 from .nquads import parse
 from .terms import quad_from_rdfjs
+
+
+def _trace_urdna2015():
+    """Deprecation trace hook, mirroring ``lib/index.js:72-77``: the
+    reference emits ``console.trace`` when the global
+    ``RDF_CANONIZE_TRACE_URDNA2015`` flag is truthy; the Python
+    analogue of a global flag is the environment variable of the same
+    name, and the analogue of console.trace is a DeprecationWarning
+    (carries the call stack location via stacklevel)."""
+    if os.environ.get("RDF_CANONIZE_TRACE_URDNA2015"):
+        warnings.warn(
+            "[rdf-canonize] URDNA2015 is deprecated, use RDFC-1.0",
+            DeprecationWarning,
+            stacklevel=3,
+        )
 
 
 def _input_to_dataset(input_data, input_format=None):
@@ -88,6 +106,9 @@ def canonize(
         raise ValueError(
             "Invalid RDF Dataset Canonicalization algorithm: " + algorithm
         )
+    if algorithm == "URDNA2015":
+        # deprecated alias path (lib/index.js:170-174)
+        _trace_urdna2015()
     return RDFC10(
         create_message_digest=create_message_digest,
         message_digest_algorithm=message_digest_algorithm,

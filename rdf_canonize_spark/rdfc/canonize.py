@@ -68,6 +68,41 @@ class MessageDigest:
         return self.md.hexdigest()
 
 
+class WebCryptoMessageDigest:
+    """Accumulate-then-digest twin of the streaming ``MessageDigest``,
+    ported from ``lib/MessageDigest-webcrypto.js:20-48``: ``update``
+    concatenates, ``digest`` encodes the whole accumulated string once
+    (``TextEncoder`` semantics == Node's lossy utf8: surrogate pairs
+    recombine, lone surrogates become U+FFFD -- so ``node_utf8`` IS
+    the byte rule here too).  Plug in via
+    ``create_message_digest=lambda: WebCryptoMessageDigest(alg)`` --
+    the reference's webcrypto test-matrix dimension.
+
+    Output-identical to the streaming digest for every whole-string
+    input; the faithful divergence is a surrogate PAIR SPLIT ACROSS
+    ``update`` calls: streamed, each half is lossily encoded on its
+    own (two U+FFFD), accumulated, the halves recombine into one
+    astral code point before encoding -- exactly the difference
+    between the reference's two classes.
+    """
+
+    __slots__ = ("algorithm", "_content")
+
+    def __init__(self, algorithm="sha256"):
+        if algorithm not in _HASH_ALGORITHMS:
+            raise ValueError('Unsupported algorithm "%s".' % algorithm)
+        self.algorithm = _HASH_ALGORITHMS[algorithm]
+        self._content = []
+
+    def update(self, msg):
+        self._content.append(msg)
+
+    def digest(self):
+        return hashlib.new(
+            self.algorithm, node_utf8("".join(self._content))
+        ).hexdigest()
+
+
 class MaxDeepIterationsError(RuntimeError):
     pass
 

@@ -39,6 +39,95 @@ def test_urdna2015_alias():
     )
 
 
+def test_urdna2015_trace_hook(monkeypatch):
+    """RDF_CANONIZE_TRACE_URDNA2015 (lib/index.js:72-77): with the
+    flag set, the deprecated alias path emits a deprecation trace;
+    without it (and for RDFC-1.0 regardless) it is silent."""
+    import warnings
+
+    monkeypatch.delenv("RDF_CANONIZE_TRACE_URDNA2015", raising=False)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any warning -> test failure
+        canonize(SIMPLE, algorithm="URDNA2015",
+                 input_format="application/n-quads")
+
+    monkeypatch.setenv("RDF_CANONIZE_TRACE_URDNA2015", "1")
+    with pytest.warns(DeprecationWarning, match="URDNA2015 is deprecated"):
+        out = canonize(SIMPLE, algorithm="URDNA2015",
+                       input_format="application/n-quads")
+    assert out == SIMPLE_OUT  # trace does not alter the output
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        canonize(SIMPLE, algorithm="RDFC-1.0",
+                 input_format="application/n-quads")
+
+
+def test_webcrypto_digest_variant():
+    """The accumulate-then-digest webcrypto twin
+    (lib/MessageDigest-webcrypto.js): output-identical to the
+    streaming node digest on well-formed input across algorithms and
+    an n-degree-heavy structure, divergent exactly on lone surrogates
+    (TextEncoder U+FFFD vs Node lossy utf8) -- the same pair of
+    behaviors the reference's two classes exhibit."""
+    from rdf_canonize_spark.rdfc.canonize import (
+        MessageDigest,
+        WebCryptoMessageDigest,
+    )
+
+    # single-orbit cycle: every bnode shares a first-degree hash, so
+    # canonization goes through the n-degree recursion (tractable at
+    # wf3, unlike the poison make_data_b graphs)
+    hard = "".join(
+        f"_:r{i} <ex:p> _:r{(i + 1) % 8} .\n" for i in range(8)
+    )
+    for alg in ("sha256", "SHA-384", "sha512"):
+        base = canonize(
+            hard, algorithm="RDFC-1.0", max_work_factor=3,
+            input_format="application/n-quads",
+            message_digest_algorithm=alg,
+        )
+        web = canonize(
+            hard, algorithm="RDFC-1.0", max_work_factor=3,
+            input_format="application/n-quads",
+            create_message_digest=lambda a=alg: WebCryptoMessageDigest(a),
+        )
+        assert web == base
+
+    with pytest.raises(ValueError, match="Unsupported algorithm"):
+        WebCryptoMessageDigest("md5")
+
+    # incremental updates accumulate (digest of the concatenation),
+    # and whole-string inputs -- including a lone surrogate -- hash
+    # identically to the streaming digest
+    w = WebCryptoMessageDigest("sha256")
+    w.update("ab")
+    w.update("cd")
+    one = WebCryptoMessageDigest("sha256")
+    one.update("abcd")
+    assert w.digest() == one.digest()
+    lone = "x" + chr(0xD800)
+    node = MessageDigest("sha256")
+    node.update(lone)
+    web = WebCryptoMessageDigest("sha256")
+    web.update(lone)
+    assert node.digest() == web.digest()
+
+    # the REAL divergence dimension: a surrogate pair split across
+    # update calls -- the streaming digest lossily encodes each half
+    # (two U+FFFD), the accumulator recombines them into one astral
+    # code point before encoding
+    node2 = MessageDigest("sha256")
+    node2.update(chr(0xD800))
+    node2.update(chr(0xDC00))
+    web2 = WebCryptoMessageDigest("sha256")
+    web2.update(chr(0xD800))
+    web2.update(chr(0xDC00))
+    assert node2.digest() != web2.digest()
+    whole = MessageDigest("sha256")
+    whole.update(chr(0xD800) + chr(0xDC00))
+    assert whole.digest() == web2.digest()
+
+
 def test_reject_urdna2015():
     with pytest.raises(ValueError, match="Invalid RDF Dataset"):
         canonize(

@@ -5,7 +5,12 @@ at sf0.01 against ``oracle_sql()[name]`` through DuckDB, comparing
 row counts and order-insensitive value multisets (column-name-sorted,
 values normalized to strings with float rounding).
 
-Usage: python3 tools/check_contract.py [sf_dir] [name ...]
+Usage: python3 tools/check_contract.py [--json OUT] [sf_dir] [name ...]
+
+``--json OUT`` additionally writes a per-query artifact in the
+driver's CORRECTNESS schema ({name: {rows_match, schema_match,
+hash_match, spark_rows, oracle_rows, err}}) so a full-registry run can
+be committed alongside the driver's sampled one.
 """
 
 from __future__ import annotations
@@ -51,8 +56,13 @@ def main():
     import __spark_entry__ as entrymod
     from rdf_canonize_spark.session import get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if args and args[0] == "--json":
+        json_out = args[1]
+        args = args[2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     spark = get_spark(app_name="contract-check", master="local[8]",
                       shuffle_partitions=16)
@@ -74,6 +84,7 @@ def main():
     qs = entrymod.queries()
     os_ = entrymod.oracle_sql()
     failures = []
+    report = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -85,6 +96,12 @@ def main():
         if name not in os_:
             print(f"{name}: rows-only check rows={len(srows)} "
                   f"({elapsed:.1f}s)")
+            report[name] = {
+                "rows_match": None, "schema_match": None,
+                "hash_match": None, "spark_rows": len(srows),
+                "oracle_rows": None, "err": None,
+                "note": "rows-only (no oracle_sql entry)",
+            }
             continue
         res = con.execute(os_[name])
         ocols = [d[0] for d in res.description]
@@ -97,6 +114,14 @@ def main():
         print(f"{name}: {status} spark_rows={len(srows)} "
               f"oracle_rows={len(orows)} schema_match={ok_schema} "
               f"({elapsed:.1f}s)")
+        report[name] = {
+            "rows_match": len(srows) == len(orows),
+            "schema_match": ok_schema,
+            "hash_match": a == b,
+            "spark_rows": len(srows),
+            "oracle_rows": len(orows),
+            "err": None,
+        }
         if not ok:
             failures.append(name)
             if not ok_schema:
@@ -113,6 +138,13 @@ def main():
                 print("  only-in-spark:", list(sa - sb)[:2])
                 print("  only-in-oracle:", list(sb - sa)[:2])
     print("FAILURES:", failures or "none")
+    if json_out:
+        import json
+
+        with open(json_out, "w", encoding="utf-8") as f:
+            json.dump(report, f, indent=2)
+            f.write("\n")
+        print("wrote", json_out)
     spark.stop()
     sys.exit(1 if failures else 0)
 
