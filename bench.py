@@ -220,16 +220,23 @@ def main():
         # BASELINE.md).  local[32] peak throughput is supplementary.
         parts = 64
         time.sleep(20)  # let burst credits refill after headline runs
-        speed1 = core_speed_probe()
+        # each leg is BRACKETED by probes and charged their mean: a
+        # single pre-leg probe can catch a transient boost state
+        # (observed: 1877 MiB/s right after a sustained 1-core leg vs
+        # a 1460-1500 idle baseline) and then over-correct
+        p0 = core_speed_probe()
         sec1, docs, quads = throughput_run(
             "local[1]", SCALE_DOCS, 2, parts, warm_runs=3,
             timing="warm_mean",
         )
-        speed4 = core_speed_probe()
+        p1 = core_speed_probe()
         sec4, _, _ = throughput_run(
             "local[4]", SCALE_DOCS, 8, parts, warm_runs=3,
             timing="warm_mean",
         )
+        p2 = core_speed_probe()
+        speed1 = (p0 + p1) / 2
+        speed4 = (p1 + p2) / 2
         sec32, _, _ = throughput_run(
             "local[32]", SCALE_DOCS, 64, parts, warm_runs=1
         )
@@ -256,11 +263,13 @@ def main():
             "n": 1,
             "four_n": 4,
             "efficiency": round(eff_raw, 3),
+            # diagnostic, not the headline metric: raw efficiency is
+            # the cross-round-comparable number; the calibrated form
+            # divides out measured per-core speed drift between legs
             "efficiency_core_calibrated": round(eff_cal, 3),
-            "core_speed_probe_mib_s": {
-                "before_local1": round(speed1, 1),
-                "before_local4": round(speed4, 1),
-            },
+            "core_speed_probe_mib_s": [
+                round(p0, 1), round(p1, 1), round(p2, 1)
+            ],
             "supplementary_4_to_32_speedup": s32,
         }
         # Token-bucket health stamp: on this 32-core box a healthy run
