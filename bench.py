@@ -103,6 +103,44 @@ def core_speed_probe(mb=192):
     return best
 
 
+def effective_cores_probe(n_procs=32, mb_per_proc=384):
+    """Aggregate 32-process sha256 rate divided by the single-thread
+    rate: the machine's effective parallel capacity at this instant --
+    on this host ~17-21 of 32 cores sustained, collapsing toward
+    single digits with drained burst credits (BASELINE.md).  Probed
+    before AND after the headline queries so a run whose headline
+    executed under a drained bucket is detectable even when credits
+    refill before the scaling legs (observed: a 37.6 s headline
+    stamped 'ok' by the 4->32 probe alone).
+
+    Separate interpreter PROCESSES, not threads: hashlib releases the
+    GIL for large updates but the handoff overhead caps 32 threads at
+    ~10 apparent cores on this host while 32 processes measure 17+
+    moments apart -- a threaded probe would mislabel every healthy
+    run.  Plain fork+exec subprocesses also avoid fork-with-JVM-
+    threads hazards inside the bench session."""
+    single = core_speed_probe(96)
+    code = (
+        "import hashlib\n"
+        "d = b'Z' * (1 << 20)\n"
+        "h = hashlib.sha256()\n"
+        "for _ in range(%d):\n"
+        "    h.update(d)\n"
+        "h.digest()\n" % mb_per_proc
+    )
+    import subprocess
+
+    t0 = time.time()
+    procs = [
+        subprocess.Popen([sys.executable, "-c", code])
+        for _ in range(n_procs)
+    ]
+    for p in procs:
+        p.wait()
+    agg = n_procs * mb_per_proc / (time.time() - t0)
+    return round(agg / single, 1)
+
+
 def throughput_run(master, n_docs, shuffle_partitions, partitions,
                    warm_runs=2, timing="best"):
     """End-to-end pipeline throughput over the deterministic heavy
@@ -167,9 +205,11 @@ def main():
     # wall-clock around run_headline INCLUDING the warm-up force --
     # the exact round-1 metric definition, kept so cross-round totals
     # stay apples-to-apples
+    cores_before = effective_cores_probe()
     t_total0 = time.time()
     timings = run_headline(spark, SF_DIR)
     total = round(time.time() - t_total0, 3)
+    cores_after = effective_cores_probe()
     # hybrid router timed AFTER the comparable window (it's a round-2
     # addition, reported separately)
     import __spark_entry__ as entrymod
@@ -279,18 +319,28 @@ def main():
         # is that signature -- the whole artifact (including the
         # headline walls, which ran under the same bucket) is then
         # self-labeled degraded rather than read as a plan regression.
+        # headline health keys on the DIRECT effective-cores probes
+        # bracketing the headline window (the 4->32 signal alone can
+        # miss a headline that ran drained if credits refill before
+        # the scaling legs); ~21 effective cores is this host's
+        # healthy sustained state, <14 is the drained signature
+        headline_ok = min(cores_before, cores_after) >= 14
+        ok = s32 >= 0.9 and headline_ok
         result["bucket_health"] = {
             "four_to_32_speedup": s32,
-            "status": "ok" if s32 >= 0.9 else "bucket-degraded",
+            "effective_cores_before_headline": cores_before,
+            "effective_cores_after_headline": cores_after,
+            "status": "ok" if ok else "bucket-degraded",
             "note": (
-                "4->32 speedup >= 0.9: burst credits available; "
-                "wall-clocks comparable across rounds"
-                if s32 >= 0.9
+                "effective cores >= 14 around the headline and 4->32 "
+                "speedup >= 0.9: burst credits available; wall-clocks "
+                "comparable across rounds"
+                if ok
                 else "hypervisor CPU token bucket drained during this "
                      "run (sustained cap ~21/32 cores, BASELINE.md); "
-                     "wall-clocks are NOT comparable across rounds -- "
-                     "the 1->4 efficiency legs (immune to the cap) "
-                     "remain valid"
+                     "32-core wall-clocks are NOT comparable across "
+                     "rounds -- the 1->4 efficiency legs (immune to "
+                     "the cap) remain valid"
             ),
         }
 
