@@ -319,30 +319,35 @@ def main():
         # is that signature -- the whole artifact (including the
         # headline walls, which ran under the same bucket) is then
         # self-labeled degraded rather than read as a plan regression.
-        # headline health keys on the DIRECT effective-cores probes
-        # bracketing the headline window (the 4->32 signal alone can
-        # miss a headline that ran drained if credits refill before
-        # the scaling legs); ~21 effective cores is this host's
-        # healthy sustained state, <14 is the drained signature
-        headline_ok = min(cores_before, cores_after) >= 14
-        ok = s32 >= 0.9 and headline_ok
-        result["bucket_health"] = {
-            "four_to_32_speedup": s32,
-            "effective_cores_before_headline": cores_before,
-            "effective_cores_after_headline": cores_after,
-            "status": "ok" if ok else "bucket-degraded",
-            "note": (
-                "effective cores >= 14 around the headline and 4->32 "
-                "speedup >= 0.9: burst credits available; wall-clocks "
-                "comparable across rounds"
-                if ok
-                else "hypervisor CPU token bucket drained during this "
-                     "run (sustained cap ~21/32 cores, BASELINE.md); "
-                     "32-core wall-clocks are NOT comparable across "
-                     "rounds -- the 1->4 efficiency legs (immune to "
-                     "the cap) remain valid"
-            ),
-        }
+    # bucket_health is emitted for EVERY run (the probes bracket the
+    # headline window, which exists with or without the scaling legs);
+    # the 4->32 signal joins in when scaling ran.  The 4->32 probe
+    # alone can miss a headline that ran drained if credits refill
+    # before the scaling legs; ~17-21 effective cores is this host's
+    # healthy sustained state, <14 is the drained signature.
+    headline_ok = min(cores_before, cores_after) >= 14
+    s32 = result.get("scaling", {}).get(
+        "supplementary_4_to_32_speedup"
+    )
+    ok = headline_ok and (s32 is None or s32 >= 0.9)
+    result["bucket_health"] = {
+        "effective_cores_before_headline": cores_before,
+        "effective_cores_after_headline": cores_after,
+        **({"four_to_32_speedup": s32} if s32 is not None else {}),
+        "status": "ok" if ok else "bucket-degraded",
+        "note": (
+            "effective cores >= 14 around the headline"
+            + ("" if s32 is None else " and 4->32 speedup >= 0.9")
+            + ": burst credits available; wall-clocks comparable "
+              "across rounds"
+            if ok
+            else "hypervisor CPU token bucket drained during this "
+                 "run (sustained cap ~21/32 cores, BASELINE.md); "
+                 "32-core wall-clocks are NOT comparable across "
+                 "rounds -- the 1->4 efficiency legs (immune to "
+                 "the cap) remain valid"
+        ),
+    }
 
     print(json.dumps(result))
 

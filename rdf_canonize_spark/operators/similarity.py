@@ -304,7 +304,10 @@ def ivf_trained_topk(spark, sf_dir, k=TOP_K, n_queries=N_QUERIES,
     signature when recall matters more than cross-engine
     reproducibility."""
     emb = _load(spark, sf_dir).filter(F.size("v") == EMB_DIM)
-    cents = init_centroids(emb, k=n_cells)
+    # cents feeds TWO plan branches (corpus assignment + query
+    # probing); localCheckpoint evaluates the init subtree once
+    # instead of per branch (CLAUDE.md multi-branch-frame recipe)
+    cents = init_centroids(emb, k=n_cells).localCheckpoint()
     return ivf_topk(
         spark, sf_dir, k=k, n_queries=n_queries, nprobe=nprobe,
         centroids_df=cents,

@@ -61,11 +61,12 @@ CANONICAL_SCHEMA = StructType(
 # order-independent aggregation removes cross-line ambiguity.
 #
 # ENFORCED (framing contract): kernel <-> relational input-hash parity
-# holds even for lone UTF-16 surrogates.  Spark normalizes every string
-# at DataFrame ingestion (UTF-16 code units: valid surrogate pairs
-# combine, each unpaired surrogate becomes one U+FFFD -- measured
-# empirically: 'a\\ud800b' round-trips as 'a<U+FFFD>b', octet_length
-# 5), so the relational twin can only ever see the normalized form.
+# holds even for UTF-16 surrogates.  Spark normalizes every string at
+# DataFrame ingestion: EACH surrogate code point -- paired or not --
+# becomes one U+FFFD (measured empirically: 'a\\ud800b' round-trips as
+# 'a<U+FFFD>b' with octet_length 5, and an adjacent high+low pair
+# becomes TWO U+FFFD, it does NOT recombine into an astral char), so
+# the relational twin can only ever see the normalized form.
 # ``_jvm_text`` applies the SAME normalization here before framing, so
 # a dataset-input caller who computes a prior input_hash through the
 # pure-Python kernel and later compares it against the relational

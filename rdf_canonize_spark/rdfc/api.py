@@ -21,7 +21,8 @@ Spark UDF).
 from __future__ import annotations
 
 import os
-import warnings
+import sys
+import traceback
 
 from .canonize import RDFC10
 from .nquads import parse
@@ -30,17 +31,20 @@ from .terms import quad_from_rdfjs
 
 def _trace_urdna2015():
     """Deprecation trace hook, mirroring ``lib/index.js:72-77``: the
-    reference emits ``console.trace`` when the global
-    ``RDF_CANONIZE_TRACE_URDNA2015`` flag is truthy; the Python
-    analogue of a global flag is the environment variable of the same
-    name, and the analogue of console.trace is a DeprecationWarning
-    (carries the call stack location via stacklevel)."""
+    reference emits ``console.trace`` (message + call stack, always
+    printed) when the global ``RDF_CANONIZE_TRACE_URDNA2015`` flag is
+    truthy; the Python analogue of a global flag is the environment
+    variable of the same name.  Written straight to stderr like
+    console.trace -- a ``DeprecationWarning`` would be swallowed by
+    the default warning filters outside ``__main__``, making the hook
+    a silent no-op for exactly the library callers it exists for."""
     if os.environ.get("RDF_CANONIZE_TRACE_URDNA2015"):
-        warnings.warn(
-            "[rdf-canonize] URDNA2015 is deprecated, use RDFC-1.0",
-            DeprecationWarning,
-            stacklevel=3,
+        print(
+            "Trace: [rdf-canonize] URDNA2015 is deprecated, "
+            "use RDFC-1.0",
+            file=sys.stderr,
         )
+        traceback.print_stack(file=sys.stderr)
 
 
 def _input_to_dataset(input_data, input_format=None):

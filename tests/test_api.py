@@ -39,27 +39,28 @@ def test_urdna2015_alias():
     )
 
 
-def test_urdna2015_trace_hook(monkeypatch):
+def test_urdna2015_trace_hook(monkeypatch, capsys):
     """RDF_CANONIZE_TRACE_URDNA2015 (lib/index.js:72-77): with the
-    flag set, the deprecated alias path emits a deprecation trace;
-    without it (and for RDFC-1.0 regardless) it is silent."""
-    import warnings
-
+    flag set, the deprecated alias path prints a console.trace-style
+    message + call stack to stderr (NOT a DeprecationWarning, which
+    default filters would swallow for library callers); without it
+    (and for RDFC-1.0 regardless) it is silent."""
     monkeypatch.delenv("RDF_CANONIZE_TRACE_URDNA2015", raising=False)
-    with warnings.catch_warnings():
-        warnings.simplefilter("error")  # any warning -> test failure
-        canonize(SIMPLE, algorithm="URDNA2015",
-                 input_format="application/n-quads")
+    canonize(SIMPLE, algorithm="URDNA2015",
+             input_format="application/n-quads")
+    assert capsys.readouterr().err == ""
 
     monkeypatch.setenv("RDF_CANONIZE_TRACE_URDNA2015", "1")
-    with pytest.warns(DeprecationWarning, match="URDNA2015 is deprecated"):
-        out = canonize(SIMPLE, algorithm="URDNA2015",
-                       input_format="application/n-quads")
+    out = canonize(SIMPLE, algorithm="URDNA2015",
+                   input_format="application/n-quads")
+    err = capsys.readouterr().err
+    assert "URDNA2015 is deprecated, use RDFC-1.0" in err
+    assert "test_api.py" in err  # carries the caller's stack
     assert out == SIMPLE_OUT  # trace does not alter the output
-    with warnings.catch_warnings():
-        warnings.simplefilter("error")
-        canonize(SIMPLE, algorithm="RDFC-1.0",
-                 input_format="application/n-quads")
+
+    canonize(SIMPLE, algorithm="RDFC-1.0",
+             input_format="application/n-quads")
+    assert capsys.readouterr().err == ""
 
 
 def test_webcrypto_digest_variant():

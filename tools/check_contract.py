@@ -59,6 +59,9 @@ def main():
     args = sys.argv[1:]
     json_out = None
     if args and args[0] == "--json":
+        if len(args) < 2:
+            sys.exit("usage: check_contract.py [--json OUT] "
+                     "[sf_dir] [name ...]")
         json_out = args[1]
         args = args[2:]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
@@ -89,9 +92,22 @@ def main():
         if only and name not in only:
             continue
         t0 = time.time()
-        sdf = fn(spark, sf_dir)
-        cols = [f.name for f in sdf.schema.fields]
-        srows = [tuple(r) for r in sdf.collect()]
+        # a raising query/oracle must record err and move on -- the
+        # whole point of the artifact is surviving a regression
+        try:
+            sdf = fn(spark, sf_dir)
+            cols = [f.name for f in sdf.schema.fields]
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            msg = f"{type(e).__name__}: {e}"[:500]
+            print(f"{name}: FAIL (spark raised) {msg}")
+            failures.append(name)
+            report[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": None,
+                "oracle_rows": None, "err": msg,
+            }
+            continue
         elapsed = time.time() - t0
         if name not in os_:
             print(f"{name}: rows-only check rows={len(srows)} "
@@ -103,9 +119,20 @@ def main():
                 "note": "rows-only (no oracle_sql entry)",
             }
             continue
-        res = con.execute(os_[name])
-        ocols = [d[0] for d in res.description]
-        orows = res.fetchall()
+        try:
+            res = con.execute(os_[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:
+            msg = f"{type(e).__name__}: {e}"[:500]
+            print(f"{name}: FAIL (oracle raised) {msg}")
+            failures.append(name)
+            report[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": len(srows),
+                "oracle_rows": None, "err": msg,
+            }
+            continue
         ok_schema = sorted(cols) == sorted(ocols)
         a = norm_rows(cols, srows)
         b = norm_rows(ocols, orows)
