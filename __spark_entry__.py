@@ -724,6 +724,14 @@ def q_text_fingerprint(spark, sf_dir):
     return textstats.fingerprint(_docs(spark, sf_dir))
 
 
+def q_text_repetition(spark, sf_dir):
+    """Gopher repetition rules: duplicate-word / top-bigram /
+    duplicate-trigram fractions + the combined filter flag (the
+    standard boilerplate-loop and keyword-stuffing catch that length
+    checks miss).  One tagged n-gram explode, two narrow shuffles."""
+    return textstats.repetition_stats(_docs(spark, sf_dir))
+
+
 SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 0.1}
 MIX_QUOTAS = {"en": 40, "de": 25, "fr": 10, "es": 5}
 
@@ -865,6 +873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_supplier_volume": q_local_supplier_volume,
         "canonize_incremental": q_canonize_incremental,
         "ann_ivf_trained_topk": q_ann_ivf_trained,  # new in round 4
+        "text_repetition": q_text_repetition,  # new in round 4
         "dedup_exact": q_dedup_exact,
         "paragraph_dedup": q_paragraph_dedup,
         "boilerplate_segments": q_boilerplate_segments,
@@ -934,6 +943,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": oracle_ops.quality_score(),
         "text_token_counts": oracle_ops.token_counts(),
         "text_fingerprint": oracle_ops.fingerprint(),
+        "text_repetition": oracle_ops.repetition_stats(),
         "docs_chunks": oracle_ops.chunk_documents(),
         "text_redact_pii": oracle_ops.redact_pii(),
         "docs_stratified_sample": oracle_ops.stratified_sample(SAMPLE_RATES),

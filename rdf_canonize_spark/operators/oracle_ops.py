@@ -269,6 +269,69 @@ def token_counts():
 FROM documents"""
 
 
+def repetition_stats():
+    """Mirrors textstats.repetition_stats (Gopher repetition rules):
+    same n-gram construction, integer-division-to-DOUBLE fractions,
+    round-then-compare flag.  Thresholds interpolated via Python repr
+    for bit-identical DOUBLE comparison (CLAUDE.md recipe)."""
+    from .textstats import (
+        REP_DUP_TRIGRAM_MAX,
+        REP_MIN_WORDS,
+        REP_TOP_BIGRAM_MAX,
+    )
+
+    bg_max = repr(float(REP_TOP_BIGRAM_MAX))
+    tg_max = repr(float(REP_DUP_TRIGRAM_MAX))
+    min_w = int(REP_MIN_WORDS)
+    return f"""WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         len(string_split(text, ' ')) AS n_words
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, 2 AS g, w[i] || ' ' || w[i + 1] AS gram
+  FROM w, UNNEST(range(1, n_words)) AS u(i)
+  UNION ALL
+  SELECT doc_id, 3 AS g,
+         w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS gram
+  FROM w, UNNEST(range(1, n_words - 1)) AS u(i)
+),
+counts AS (
+  SELECT doc_id, g, gram, COUNT(*) AS c
+  FROM grams GROUP BY doc_id, g, gram
+),
+per_g AS (
+  SELECT doc_id, g, MAX(c) AS top_c, SUM(c) AS tot_c,
+         COUNT(*) AS distinct_c
+  FROM counts GROUP BY doc_id, g
+),
+stats AS (
+  SELECT doc_id,
+    MAX(CASE WHEN g = 2 THEN top_c END) AS bg_top,
+    MAX(CASE WHEN g = 2 THEN tot_c END) AS bg_tot,
+    MAX(CASE WHEN g = 3 THEN tot_c END) AS tg_tot,
+    MAX(CASE WHEN g = 3 THEN distinct_c END) AS tg_distinct
+  FROM per_g GROUP BY doc_id
+),
+feat AS (
+  SELECT w.doc_id, w.n_words,
+    round(1 - len(list_distinct(w.w)) / CAST(w.n_words AS DOUBLE), 6)
+      AS dup_word_frac,
+    round(coalesce(s.bg_top / CAST(s.bg_tot AS DOUBLE), 0.0), 6)
+      AS top_bigram_frac,
+    round(coalesce(1 - s.tg_distinct / CAST(s.tg_tot AS DOUBLE), 0.0),
+          6) AS dup_trigram_frac
+  FROM w LEFT JOIN stats s ON w.doc_id = s.doc_id
+)
+SELECT doc_id, n_words, dup_word_frac, top_bigram_frac,
+  dup_trigram_frac,
+  (n_words >= {min_w}
+   AND (top_bigram_frac > CAST({bg_max} AS DOUBLE)
+        OR dup_trigram_frac > CAST({tg_max} AS DOUBLE)))
+    AS is_repetitive
+FROM feat"""
+
+
 def fingerprint():
     w = FINGERPRINT_WINDOW
     return f"""SELECT doc_id,

@@ -110,6 +110,110 @@ def token_counts(docs):
     )
 
 
+# Gopher-style repetition thresholds (Rae et al. 2021, table A1
+# character): a document is repetitive when its most frequent word
+# 2-gram covers more than ~18% of bigram slots or more than ~30% of
+# its trigram occurrences are repeats.  Compared on the ROUNDED
+# fractions so the flag is bit-identical across engines.
+REP_TOP_BIGRAM_MAX = 0.18
+REP_DUP_TRIGRAM_MAX = 0.30
+# the flag only applies above a minimum length: a 2-word document's
+# single bigram "covers 100%" of slots -- degenerate, not repetitive
+REP_MIN_WORDS = 10
+
+
+def repetition_stats(docs, top_bigram_max=REP_TOP_BIGRAM_MAX,
+                     dup_trigram_max=REP_DUP_TRIGRAM_MAX,
+                     min_words=REP_MIN_WORDS):
+    """Gopher-rule repetition features per document: duplicate-word
+    fraction, top-bigram coverage, duplicate-trigram fraction, and the
+    combined ``is_repetitive`` flag.  Complements ``quality_score``
+    (length/punct/stopwords): repetition rules are the standard
+    CCNet/Gopher filter for looping boilerplate and keyword-stuffed
+    spam that passes length checks.
+
+    Shape: bigrams and trigrams explode TOGETHER (one tagged pass,
+    one map-side-combinable groupBy chain) and join back per doc_id --
+    two narrow shuffles total, no per-document quadratic work, no
+    Python.  Documents too short for an n-gram get zero fractions via
+    the left join (never dropped)."""
+    words = _words()
+    base = docs.select(
+        "doc_id", words.alias("w"), F.size(words).alias("n_words")
+    )
+    # element_at is 1-based; sequence bounds keep every index valid
+    # under ANSI (CLAUDE.md: getItem/element_at throw out-of-range)
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "concat("
+                " CASE WHEN size(w) >= 2 THEN"
+                "  transform(sequence(1, size(w) - 1),"
+                "   i -> struct(2 AS g, concat(element_at(w, i), ' ',"
+                "        element_at(w, i + 1)) AS gram))"
+                " ELSE array() END,"
+                " CASE WHEN size(w) >= 3 THEN"
+                "  transform(sequence(1, size(w) - 2),"
+                "   i -> struct(3 AS g, concat(element_at(w, i), ' ',"
+                "        element_at(w, i + 1), ' ',"
+                "        element_at(w, i + 2)) AS gram))"
+                " ELSE array() END)"
+            )
+        ).alias("t"),
+    ).select("doc_id", "t.g", "t.gram")
+    counts = grams.groupBy("doc_id", "g", "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    stats = (
+        counts.groupBy("doc_id", "g")
+        .agg(
+            F.max("c").alias("top_c"),
+            F.sum("c").alias("tot_c"),
+            F.count(F.lit(1)).alias("distinct_c"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.max(F.when(F.col("g") == 2, F.col("top_c"))).alias("bg_top"),
+            F.max(F.when(F.col("g") == 2, F.col("tot_c"))).alias("bg_tot"),
+            F.max(F.when(F.col("g") == 3, F.col("tot_c"))).alias("tg_tot"),
+            F.max(
+                F.when(F.col("g") == 3, F.col("distinct_c"))
+            ).alias("tg_distinct"),
+        )
+    )
+    j = base.join(stats, "doc_id", "left")
+    top_bigram_frac = F.round(
+        F.coalesce(
+            F.col("bg_top") / F.col("bg_tot"), F.lit(0.0)
+        ),
+        6,
+    )
+    dup_trigram_frac = F.round(
+        F.coalesce(
+            1 - F.col("tg_distinct") / F.col("tg_tot"), F.lit(0.0)
+        ),
+        6,
+    )
+    dup_word_frac = F.round(
+        1 - F.size(F.array_distinct("w")) / F.col("n_words"), 6
+    )
+    return j.select(
+        "doc_id",
+        "n_words",
+        dup_word_frac.alias("dup_word_frac"),
+        top_bigram_frac.alias("top_bigram_frac"),
+        dup_trigram_frac.alias("dup_trigram_frac"),
+        (
+            (F.col("n_words") >= F.lit(int(min_words)))
+            & (
+                (top_bigram_frac > F.lit(float(top_bigram_max)))
+                | (dup_trigram_frac > F.lit(float(dup_trigram_max)))
+            )
+        ).alias("is_repetitive"),
+    )
+
+
 def fingerprint(docs, window=FINGERPRINT_WINDOW):
     """Rolling-hash document fingerprint (winnowing with a whole-doc
     window): min md5 over all char ``window``-grams, plus the full-text

@@ -857,6 +857,38 @@ def test_paragraph_dedup_and_boilerplate_planted(spark):
     assert cleaned[13]["cleaned_text"] == "tiny text"  # tail-only doc
 
 
+def test_repetition_stats_planted(spark):
+    """Gopher repetition rules on planted documents: a looping
+    boilerplate doc and a keyword-stuffed doc flag as repetitive;
+    varied prose and too-short docs do not (and short docs survive
+    with zero fractions rather than dropping)."""
+    from rdf_canonize_spark.operators.textstats import repetition_stats
+
+    loop = " ".join(["click here to buy now"] * 20)  # looping bigrams
+    stuffed = " ".join(["cheap"] * 50) + " watches"  # one stuffed word
+    prose = " ".join(f"word{i} and{i % 7}" for i in range(60))
+    rows = [
+        (1, loop), (2, stuffed), (3, prose),
+        (4, "single"), (5, "two words"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert len(got) == 5  # short docs are kept, not dropped
+    assert got[1]["is_repetitive"] and got[2]["is_repetitive"]
+    assert not got[3]["is_repetitive"]
+    # "cheap cheap" covers 49 of 50 bigram slots
+    assert got[2]["top_bigram_frac"] == 0.98
+    assert got[2]["dup_word_frac"] == round(1 - 2 / 51, 6)
+    # n<2 and n<3 degenerate cases: zero fractions, never null
+    assert got[4]["top_bigram_frac"] == 0.0
+    assert got[4]["dup_trigram_frac"] == 0.0
+    assert not got[4]["is_repetitive"]
+    assert got[5]["top_bigram_frac"] == 1.0  # one bigram = 100% cover
+    assert got[5]["dup_trigram_frac"] == 0.0
+    # ...but the min-length gate keeps short docs unflagged
+    assert not got[5]["is_repetitive"]
+
+
 def test_segment_tokenizer_vertical_tab_parity(spark):
     """chr(11) (vertical tab): Java regex backslash-s includes it, RE2
     (DuckDB) backslash-s does not -- the shared EXPLICIT whitespace
