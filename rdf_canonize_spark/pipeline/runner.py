@@ -30,17 +30,30 @@ def run_pipeline(
     out_dir=None,
     batch_id=0,
     extract_fn=None,
+    strategy="colocated",
 ):
     """Run the full pipeline; returns a dict of result DataFrames.
 
     With ``out_dir`` set, performs the checkpointed write (resuming past
-    completed urls from the manifest).
+    completed urls from the manifest).  ``strategy`` passes through to
+    ``canonize_documents`` ('colocated' default; 'auto' applies the
+    measured hybrid/kernel core-count crossover; 'hybrid' etc. as
+    documented there).
     """
     gaz = gazetteer_df(spark)
     if out_dir:
         pages_df = resume_filter(spark, pages_df, out_dir)
     quads = build_quads(pages_df, gaz, extract_fn=extract_fn)
-    canonical = canonize_documents(quads, max_work_factor=max_work_factor)
+    if strategy == "hybrid":
+        from .canon_stage import hybrid_canonize_documents
+
+        canonical = hybrid_canonize_documents(
+            quads, max_work_factor=max_work_factor
+        )
+    else:
+        canonical = canonize_documents(
+            quads, max_work_factor=max_work_factor, strategy=strategy
+        )
     results = {
         "quads": quads,
         "canonical": canonical,
