@@ -790,6 +790,14 @@ def q_ann_ivf(spark, sf_dir):
     return similarity.ivf_topk(spark, sf_dir)
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-shape embedding dedup: Voronoi-cell-bucketed exact-
+    cosine comparison, keeper = smallest duplicated cell-mate.  The
+    cell join bounds candidates the way LSH tables do, but groups
+    semantically (cosine-close) instead of by random projections."""
+    return similarity.semantic_dedup(spark, sf_dir)
+
+
 def q_ann_ivf_trained(spark, sf_dir):
     """FIXED-K IVF -- the scale-correct configuration: centroids are
     the deterministic init selection (k=16 regardless of corpus size),
@@ -874,6 +882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonize_incremental": q_canonize_incremental,
         "ann_ivf_trained_topk": q_ann_ivf_trained,  # new in round 4
         "text_repetition": q_text_repetition,  # new in round 4
+        "semantic_dedup": q_semantic_dedup,  # new in round 4
         "dedup_exact": q_dedup_exact,
         "paragraph_dedup": q_paragraph_dedup,
         "boilerplate_segments": q_boilerplate_segments,
@@ -953,6 +962,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_brute_force_topk": oracle_ops.brute_force_topk(),
         "ann_ivf_topk": oracle_ops.ivf_topk(),
         "ann_ivf_trained_topk": oracle_ops.ivf_trained_topk(),
+        "semantic_dedup": oracle_ops.semantic_dedup(),
         "ann_lsh_topk": oracle_ops.lsh_ann_topk(),
         "ann_lsh_banded_topk": oracle_ops.lsh_ann_topk_banded(
             n_tables=3, bits=6

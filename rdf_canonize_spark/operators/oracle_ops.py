@@ -643,21 +643,23 @@ SELECT query_id, vec_id, round(cosine, 6) AS cosine, rank
 FROM ranked WHERE rank <= {TOP_K}"""
 
 
-def ivf_trained_topk(n_cells=16):
-    """Fixed-K IVF mirror (similarity.ivf_trained_topk): centroids =
-    the deterministic init selection -- global top-``n_cells`` rows by
-    (stride_match DESC, vec_id ASC) with stride = count // k (the
-    under-fill backfill falls out of the same ordering), cell_id =
-    rank - 1 -- then identical squared-L2 assignment, nprobe probing,
-    and cosine rerank as the stride-diagnostic oracle."""
-    from .similarity import CENTROID_MOD, NPROBE
+_D2 = (
+    "list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+    " + list_dot_product({b}, {b})"
+)
 
-    d2 = (
-        "list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
-        " + list_dot_product({b}, {b})"
-    )
-    return f"""WITH {_EMB_CTE},
-ed AS (SELECT * FROM e WHERE len(v) = {EMB_DIM}),
+
+def _ivf_init_assign_ctes(n_cells):
+    """Shared CTE block (ed / p / cents / assigned) mirroring
+    ``similarity.init_centroids`` + ``assign_cells``: the fixed-K init
+    selection -- global top-``n_cells`` rows by (stride_match DESC,
+    vec_id ASC) with stride = count // k (the under-fill backfill
+    falls out of the same ordering), cell_id = rank - 1 -- then
+    squared-L2 argmin assignment.  Used by the trained-IVF and
+    semantic-dedup oracles."""
+    from .similarity import CENTROID_MOD
+
+    return f"""ed AS (SELECT * FROM e WHERE len(v) = {EMB_DIM}),
 p AS (
   SELECT greatest(1, COUNT(*) // {n_cells}) AS stride FROM ed
 ),
@@ -676,11 +678,22 @@ assigned AS (
     SELECT ed.vec_id, ed.v, c.cell_id,
       ROW_NUMBER() OVER (
         PARTITION BY ed.vec_id
-        ORDER BY {d2.format(a='ed.v', b='c.cv')}, c.cell_id
+        ORDER BY {_D2.format(a='ed.v', b='c.cv')}, c.cell_id
       ) AS rn
     FROM ed, cents c
   ) WHERE rn = 1
-),
+)"""
+
+
+def ivf_trained_topk(n_cells=16):
+    """Fixed-K IVF mirror (similarity.ivf_trained_topk): the shared
+    init+assignment CTEs, then identical nprobe probing and cosine
+    rerank as the stride-diagnostic oracle."""
+    from .similarity import NPROBE
+
+    d2 = _D2
+    return f"""WITH {_EMB_CTE},
+{_ivf_init_assign_ctes(n_cells)},
 qd AS (SELECT query_id, qv FROM q WHERE len(qv) = {EMB_DIM}),
 probes AS (
   SELECT query_id, qv, cell_id FROM (
@@ -709,6 +722,31 @@ ranked AS (
 )
 SELECT query_id, vec_id, round(cosine, 6) AS cosine, rank
 FROM ranked WHERE rank <= {TOP_K}"""
+
+
+def semantic_dedup(threshold=0.2, n_cells=16):
+    """Mirrors similarity.semantic_dedup (SemDeDup shape): within-cell
+    pairs with cosine >= threshold; a vector is dropped in favor of
+    the smallest cell-mate it duplicates."""
+    thr = repr(float(threshold))
+    return f"""WITH {_EMB_CTE},
+{_ivf_init_assign_ctes(n_cells)},
+pairs AS (
+  SELECT a.cell_id, a.vec_id AS ka, b.vec_id AS kb
+  FROM assigned a JOIN assigned b
+    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v) /
+        (sqrt(list_dot_product(a.v, a.v)) *
+         sqrt(list_dot_product(b.v, b.v)))
+        >= CAST({thr} AS DOUBLE)
+),
+dupof AS (
+  SELECT kb AS vec_id, MIN(ka) AS dup_of FROM pairs GROUP BY kb
+)
+SELECT a.vec_id, a.cell_id,
+  d.dup_of,
+  (d.dup_of IS NULL) AS is_kept
+FROM assigned a LEFT JOIN dupof d ON a.vec_id = d.vec_id"""
 
 
 def _bucket_sql(v, planes):

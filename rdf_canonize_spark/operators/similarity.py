@@ -314,6 +314,55 @@ def ivf_trained_topk(spark, sf_dir, k=TOP_K, n_queries=N_QUERIES,
     )
 
 
+def semantic_dedup(spark, sf_dir, threshold=0.2, n_cells=IVF_K,
+                   centroids_df=None):
+    """SemDeDup-style embedding dedup (Abbas et al. 2023): cluster the
+    corpus into Voronoi cells, compare ONLY within-cell pairs by exact
+    cosine, and drop each vector that duplicates a smaller-id
+    cell-mate (keeper = the minimum such id).  Output: one row per
+    indexable vector ``(vec_id, cell_id, dup_of, is_kept)``.
+
+    The cell bucketing replaces the quadratic all-pairs comparison
+    with per-cell joins -- the same candidate-bounding role the
+    hyperplane tables play in ``embedding_near_dup_pairs``, but keyed
+    on learned/selected centroids, which groups semantically (cosine-
+    close) rather than by random projections.  At real scale pass a
+    trained ``centroids_df`` with k ~ N / target_cell_size so expected
+    cell occupancy stays constant (mirroring the LSH paths'
+    bits ~ log2(N) rule); the fixed-k init default keeps the oracle
+    deterministic at test scale."""
+    emb = _load(spark, sf_dir).filter(F.size("v") == EMB_DIM)
+    cents = (
+        centroids_df if centroids_df is not None
+        else init_centroids(emb, k=n_cells).localCheckpoint()
+    )
+    assigned = assign_cells(emb, cents).localCheckpoint()
+    a = assigned.select(
+        "cell_id", F.col("vec_id").alias("ka"), F.col("v").alias("va")
+    )
+    b = assigned.select(
+        "cell_id", F.col("vec_id").alias("kb"), F.col("v").alias("vb")
+    )
+    pairs = (
+        a.join(b, "cell_id")
+        .filter(F.col("ka") < F.col("kb"))
+        .filter(
+            _dot(F.col("va"), F.col("vb"))
+            / (_norm(F.col("va")) * _norm(F.col("vb")))
+            >= F.lit(float(threshold))
+        )
+    )
+    dupof = pairs.groupBy(F.col("kb").alias("vec_id")).agg(
+        F.min("ka").alias("dup_of")
+    )
+    return assigned.join(dupof, "vec_id", "left").select(
+        "vec_id",
+        "cell_id",
+        "dup_of",
+        F.col("dup_of").isNull().alias("is_kept"),
+    )
+
+
 def _bucket_expr(vcol, bits=N_HYPERPLANES, seed=HYPERPLANE_SEED):
     """Sign pattern over ``bits`` hyperplanes as a '01...' string."""
     planes = _hyperplanes(seed=seed, n=bits)

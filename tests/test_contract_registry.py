@@ -34,13 +34,14 @@ PRIORITY_PREFIX = [
     "canonize_incremental",
     "ann_ivf_trained_topk",
     "text_repetition",
+    "semantic_dedup",
 ]
 
 
 def test_registry_shape_and_priority_prefix():
     qs = entrymod.queries()
     names = list(qs)
-    assert len(names) == len(set(names)) == 69
+    assert len(names) == len(set(names)) == 70
     assert names[: len(PRIORITY_PREFIX)] == PRIORITY_PREFIX
     assert all(callable(fn) for fn in qs.values())
 

@@ -255,6 +255,46 @@ def test_init_centroids_fixed_k_and_backfill(spark, sf_dir):
     emb.unpersist()
 
 
+def test_semantic_dedup_verdicts(spark, sf_dir):
+    """SemDeDup cell-bucketed dedup: every indexable vector gets
+    exactly one verdict; a dropped vector's keeper is a smaller-id
+    SAME-CELL mate with cosine >= threshold (recomputed exactly);
+    an unreachable threshold keeps everything."""
+    import math
+
+    emb = similarity._load(spark, sf_dir).filter(
+        F.size("v") == similarity.EMB_DIM
+    )
+    n = emb.count()
+    rows = similarity.semantic_dedup(spark, sf_dir, threshold=0.2).collect()
+    assert len(rows) == n
+    assert len({r["vec_id"] for r in rows}) == n
+    by_id = {r["vec_id"]: r for r in rows}
+    vecs = {r["vec_id"]: r["v"] for r in emb.collect()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (
+            math.sqrt(sum(x * x for x in a))
+            * math.sqrt(sum(y * y for y in b))
+        )
+
+    dropped = [r for r in rows if not r["is_kept"]]
+    assert dropped, "corpus has planted near-dups; some must drop"
+    for r in dropped:
+        k = r["dup_of"]
+        assert k is not None and k < r["vec_id"]
+        assert by_id[k]["cell_id"] == r["cell_id"]
+        assert cos(vecs[k], vecs[r["vec_id"]]) >= 0.2
+    for r in rows:
+        assert r["is_kept"] == (r["dup_of"] is None)
+
+    all_kept = similarity.semantic_dedup(
+        spark, sf_dir, threshold=1.01
+    ).collect()
+    assert all(r["is_kept"] for r in all_kept)
+
+
 def test_banded_hyperplane_lsh_semantics(spark, sf_dir):
     """Banded multi-table hyperplane LSH: (1) table 0 reproduces the
     original single-table buckets, so n_tables=1 keeps the contract
