@@ -595,10 +595,14 @@ def q_entity_components(spark, sf_dir):
 
 
 def q_entity_pagerank(spark, sf_dir):
-    """PageRank over the directed entity graph (10 iterations, 0.85
-    damping, uniform dangling redistribution); oracle unrolls the same
-    iterations as chained SQL CTEs.  Output rounded at 6."""
-    from rdf_canonize_spark.operators.graph import pagerank
+    """PageRank over the directed entity graph (10 iterations, 85/100
+    damping, uniform dangling redistribution) in FIXED-POINT BIGINT
+    arithmetic: integer sums are summation-order-independent, so the
+    oracle (same iterations unrolled as chained SQL CTEs, same integer
+    floor divisions) matches bit-for-bit by construction -- no float
+    rounding boundary exists (round-4 verdict action #4).  rank_fp is
+    the rank scaled by 1e12."""
+    from rdf_canonize_spark.operators.graph import pagerank_fixedpoint
 
     ent = "http://kg.example.org/entity/"
     quads = _quads(spark, sf_dir)
@@ -610,8 +614,8 @@ def q_entity_pagerank(spark, sf_dir):
         .select(F.col("s").alias("src"), F.col("o").alias("dst"))
         .distinct()
     )
-    pr = pagerank(edges, n_iter=10, damping=0.85)
-    return pr.select("node", F.round("rank", 6).alias("pagerank"))
+    pr = pagerank_fixedpoint(edges, n_iter=10)
+    return pr.select("node", "rank_fp")
 
 
 def q_entity_sharded_link(spark, sf_dir):
@@ -794,7 +798,11 @@ def q_semantic_dedup(spark, sf_dir):
     """SemDeDup-shape embedding dedup: Voronoi-cell-bucketed exact-
     cosine comparison, keeper = smallest duplicated cell-mate.  The
     cell join bounds candidates the way LSH tables do, but groups
-    semantically (cosine-close) instead of by random projections."""
+    semantically (cosine-close) instead of by random projections.
+    SCALED configuration (round-4 verdict action #2): k is derived
+    from the corpus count at constant target occupancy, so the
+    within-cell pair join stays O(N * occupancy) at any corpus size
+    -- and the oracle recomputes the identical k from COUNT(*)."""
     return similarity.semantic_dedup(spark, sf_dir)
 
 

@@ -270,31 +270,85 @@ FROM documents"""
 
 
 def repetition_stats():
-    """Mirrors textstats.repetition_stats (Gopher repetition rules):
-    same n-gram construction, integer-division-to-DOUBLE fractions,
+    """Mirrors textstats.repetition_stats (FULL Gopher repetition
+    ladder): same n-gram construction for every rung n=2..10, the same
+    (count, char length) struct-max top-gram choice (DuckDB struct max
+    == Spark struct max, lexicographic), the same clamped char-mass
+    fractions, integer-division-to-DOUBLE arithmetic, and the
     round-then-compare flag.  Thresholds interpolated via Python repr
     for bit-identical DOUBLE comparison (CLAUDE.md recipe)."""
     from .textstats import (
+        REP_DUP_NGRAM_CHAR_MAX,
         REP_DUP_TRIGRAM_MAX,
         REP_MIN_WORDS,
+        REP_NS,
         REP_TOP_BIGRAM_MAX,
+        REP_TOP_NGRAM_CHAR_MAX,
     )
 
     bg_max = repr(float(REP_TOP_BIGRAM_MAX))
     tg_max = repr(float(REP_DUP_TRIGRAM_MAX))
     min_w = int(REP_MIN_WORDS)
+
+    gram_selects = []
+    for n in REP_NS:
+        concat = " || ' ' || ".join(f"w[i + {j}]" if j else "w[i]"
+                                    for j in range(n))
+        gram_selects.append(
+            f"  SELECT doc_id, {n} AS g, {concat} AS gram\n"
+            f"  FROM w, UNNEST(range(1, n_words - {n} + 2)) AS u(i)"
+        )
+    grams_sql = "\n  UNION ALL\n".join(gram_selects)
+
+    mass_pivots = []
+    for n in REP_TOP_NGRAM_CHAR_MAX:
+        mass_pivots.append(
+            f"    MAX(CASE WHEN g = {n} THEN tops['c'] * tops['l']"
+            f" END) AS t{n}_mass"
+        )
+    for n in REP_DUP_NGRAM_CHAR_MAX:
+        mass_pivots.append(
+            f"    MAX(CASE WHEN g = {n} THEN dup_mass END)"
+            f" AS d{n}_mass"
+        )
+    mass_pivots_sql = ",\n".join(mass_pivots)
+
+    def cf(mass):
+        return (
+            f"round(CASE WHEN w.n_chars > 0 THEN "
+            f"least(CAST(1.0 AS DOUBLE), coalesce("
+            f"CAST({mass} AS DOUBLE) / CAST(w.n_chars AS DOUBLE), "
+            f"0.0)) ELSE 0.0 END, 6)"
+        )
+
+    frac_sql = []
+    frac_names = []
+    flag_terms = [
+        f"top_bigram_frac > CAST({bg_max} AS DOUBLE)",
+        f"dup_trigram_frac > CAST({tg_max} AS DOUBLE)",
+    ]
+    for n, thr in REP_TOP_NGRAM_CHAR_MAX.items():
+        name = f"top_{n}gram_char_frac"
+        frac_sql.append(f"    {cf(f's.t{n}_mass')} AS {name}")
+        frac_names.append(name)
+        flag_terms.append(f"{name} > CAST({float(thr)!r} AS DOUBLE)")
+    for n, thr in REP_DUP_NGRAM_CHAR_MAX.items():
+        name = f"dup_{n}gram_char_frac"
+        frac_sql.append(f"    {cf(f's.d{n}_mass')} AS {name}")
+        frac_names.append(name)
+        flag_terms.append(f"{name} > CAST({float(thr)!r} AS DOUBLE)")
+    frac_sql_s = ",\n".join(frac_sql)
+    frac_names_s = ", ".join(frac_names)
+    flag_s = "\n        OR ".join(flag_terms)
+
     return f"""WITH w AS (
   SELECT doc_id, string_split(text, ' ') AS w,
-         len(string_split(text, ' ')) AS n_words
+         len(string_split(text, ' ')) AS n_words,
+         length(text) AS n_chars
   FROM documents
 ),
 grams AS (
-  SELECT doc_id, 2 AS g, w[i] || ' ' || w[i + 1] AS gram
-  FROM w, UNNEST(range(1, n_words)) AS u(i)
-  UNION ALL
-  SELECT doc_id, 3 AS g,
-         w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS gram
-  FROM w, UNNEST(range(1, n_words - 1)) AS u(i)
+{grams_sql}
 ),
 counts AS (
   SELECT doc_id, g, gram, COUNT(*) AS c
@@ -302,7 +356,9 @@ counts AS (
 ),
 per_g AS (
   SELECT doc_id, g, MAX(c) AS top_c, SUM(c) AS tot_c,
-         COUNT(*) AS distinct_c
+         COUNT(*) AS distinct_c,
+         max({{'c': c, 'l': length(gram)}}) AS tops,
+         SUM(CASE WHEN c > 1 THEN c * length(gram) END) AS dup_mass
   FROM counts GROUP BY doc_id, g
 ),
 stats AS (
@@ -310,7 +366,8 @@ stats AS (
     MAX(CASE WHEN g = 2 THEN top_c END) AS bg_top,
     MAX(CASE WHEN g = 2 THEN tot_c END) AS bg_tot,
     MAX(CASE WHEN g = 3 THEN tot_c END) AS tg_tot,
-    MAX(CASE WHEN g = 3 THEN distinct_c END) AS tg_distinct
+    MAX(CASE WHEN g = 3 THEN distinct_c END) AS tg_distinct,
+{mass_pivots_sql}
   FROM per_g GROUP BY doc_id
 ),
 feat AS (
@@ -320,14 +377,14 @@ feat AS (
     round(coalesce(s.bg_top / CAST(s.bg_tot AS DOUBLE), 0.0), 6)
       AS top_bigram_frac,
     round(coalesce(1 - s.tg_distinct / CAST(s.tg_tot AS DOUBLE), 0.0),
-          6) AS dup_trigram_frac
+          6) AS dup_trigram_frac,
+{frac_sql_s}
   FROM w LEFT JOIN stats s ON w.doc_id = s.doc_id
 )
 SELECT doc_id, n_words, dup_word_frac, top_bigram_frac,
-  dup_trigram_frac,
+  dup_trigram_frac, {frac_names_s},
   (n_words >= {min_w}
-   AND (top_bigram_frac > CAST({bg_max} AS DOUBLE)
-        OR dup_trigram_frac > CAST({tg_max} AS DOUBLE)))
+   AND ({flag_s}))
     AS is_repetitive
 FROM feat"""
 
@@ -649,19 +706,37 @@ _D2 = (
 )
 
 
-def _ivf_init_assign_ctes(n_cells):
+def _ivf_init_assign_ctes(n_cells=None, target_occupancy=None,
+                          min_k=None):
     """Shared CTE block (ed / p / cents / assigned) mirroring
-    ``similarity.init_centroids`` + ``assign_cells``: the fixed-K init
-    selection -- global top-``n_cells`` rows by (stride_match DESC,
-    vec_id ASC) with stride = count // k (the under-fill backfill
-    falls out of the same ordering), cell_id = rank - 1 -- then
-    squared-L2 argmin assignment.  Used by the trained-IVF and
-    semantic-dedup oracles."""
-    from .similarity import CENTROID_MOD
+    ``similarity.init_centroids`` + ``assign_cells``: the init
+    selection -- global top-k rows by (stride_match DESC, vec_id ASC)
+    with stride = count // k (the under-fill backfill falls out of
+    the same ordering), cell_id = rank - 1 -- then squared-L2 argmin
+    assignment.  Used by the trained-IVF and semantic-dedup oracles.
+
+    k is either the FIXED ``n_cells`` literal, or (scaled form,
+    mirroring ``similarity.scaled_n_cells``) derived in SQL as
+    greatest(min_k, COUNT(*) // target_occupancy) -- DuckDB ``//``
+    == Python ``//`` on non-negative ints, so both engines compute
+    the identical k for any corpus size."""
+    from .similarity import CENTROID_MOD, IVF_K
+
+    if target_occupancy is not None:
+        if min_k is None:
+            min_k = IVF_K
+        kk = (
+            f"kk AS (\n  SELECT greatest({min_k}, "
+            f"COUNT(*) // {int(target_occupancy)}) AS k FROM ed\n),\n"
+        )
+        k_ref = "(SELECT k FROM kk)"
+    else:
+        kk = ""
+        k_ref = str(int(n_cells))
 
     return f"""ed AS (SELECT * FROM e WHERE len(v) = {EMB_DIM}),
-p AS (
-  SELECT greatest(1, COUNT(*) // {n_cells}) AS stride FROM ed
+{kk}p AS (
+  SELECT greatest(1, COUNT(*) // {k_ref}) AS stride FROM ed
 ),
 cents AS (
   SELECT CAST(rn - 1 AS INT) AS cell_id, cv FROM (
@@ -671,7 +746,7 @@ cents AS (
           DESC, ed.vec_id ASC
       ) AS rn
     FROM ed, p
-  ) WHERE rn <= {n_cells}
+  ) WHERE rn <= {k_ref}
 ),
 assigned AS (
   SELECT vec_id, v, cell_id FROM (
@@ -724,13 +799,21 @@ SELECT query_id, vec_id, round(cosine, 6) AS cosine, rank
 FROM ranked WHERE rank <= {TOP_K}"""
 
 
-def semantic_dedup(threshold=0.2, n_cells=16):
+def semantic_dedup(threshold=0.2, n_cells=None,
+                   target_occupancy=None):
     """Mirrors similarity.semantic_dedup (SemDeDup shape): within-cell
     pairs with cosine >= threshold; a vector is dropped in favor of
-    the smallest cell-mate it duplicates."""
+    the smallest cell-mate it duplicates.  Default = the SCALED
+    configuration (k derived from COUNT(*) at constant target
+    occupancy, exactly as the Spark side does); pass ``n_cells`` for
+    the fixed-k diagnostic form."""
+    from .similarity import SEMDEDUP_TARGET_OCCUPANCY
+
+    if n_cells is None and target_occupancy is None:
+        target_occupancy = SEMDEDUP_TARGET_OCCUPANCY
     thr = repr(float(threshold))
     return f"""WITH {_EMB_CTE},
-{_ivf_init_assign_ctes(n_cells)},
+{_ivf_init_assign_ctes(n_cells, target_occupancy=target_occupancy)},
 pairs AS (
   SELECT a.cell_id, a.vec_id AS ka, b.vec_id AS kb
   FROM assigned a JOIN assigned b

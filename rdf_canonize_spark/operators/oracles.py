@@ -526,20 +526,24 @@ _ENT_EDGES = """
 """
 
 
-def entity_pagerank(n_iter=10, damping=0.85):
-    """PageRank with the iterations UNROLLED as chained CTEs (DuckDB's
-    recursive terms may reference the recursive CTE only once, which a
-    PageRank step cannot honor -- it reads the previous ranks for the
-    contribution join, the dangling mass, and the carry of isolated
-    nodes).  Arithmetic mirrors operators/graph.py::pagerank exactly;
-    output rounded at 6 per the float-parity recipes.  Base tables are
-    MATERIALIZED: DuckDB inlines plain CTEs, and 10 unrolled
+def entity_pagerank(n_iter=10, damping_num=85, damping_den=100,
+                    scale=10 ** 12):
+    """FIXED-POINT PageRank with the iterations UNROLLED as chained
+    CTEs (DuckDB's recursive terms may reference the recursive CTE
+    only once, which a PageRank step cannot honor -- it reads the
+    previous ranks for the contribution join, the dangling mass, and
+    the carry of isolated nodes).  Arithmetic mirrors
+    operators/graph.py::pagerank_fixedpoint exactly: every quantity a
+    non-negative BIGINT at ``scale``, every step integer addition and
+    floor division (DuckDB ``//`` == Spark ``div`` == Python ``//``
+    on non-negative ints), so equality is bit-exact by construction --
+    no float rounding boundary (round-4 verdict action #4).  SUMs are
+    CAST back to BIGINT (DuckDB SUM(BIGINT) is HUGEINT).  Base tables
+    are MATERIALIZED: DuckDB inlines plain CTEs, and 10 unrolled
     iterations re-opening the parquet scan per reference exhausts the
     file-descriptor limit."""
-    # literals as DOUBLE with Python repr so the IEEE arithmetic is
-    # bit-identical to the Spark side (bare 0.85 would be DECIMAL)
-    d = f"CAST({damping!r} AS DOUBLE)"
-    omd = f"CAST({(1.0 - damping)!r} AS DOUBLE)"
+    num, den = int(damping_num), int(damping_den)
+    base_num = ((den - num) * scale) // den  # exact int, both engines
     ent_edges_mat = _ENT_EDGES.replace(
         "ent_edges AS (", "ent_edges AS MATERIALIZED ("
     )
@@ -554,17 +558,19 @@ pdeg AS MATERIALIZED (
   SELECT src AS node, COUNT(*) AS deg FROM ent_edges GROUP BY src
 ),
 r0 AS (
-  SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM pnodes, nn
+  SELECT node, CAST({scale} // nn.n AS BIGINT) AS rank_fp
+  FROM pnodes, nn
 )"""]
     for i in range(1, n_iter + 1):
         p = i - 1
         parts.append(f""",
 dm{i} AS (
-  SELECT COALESCE(SUM(r.rank), 0.0) AS dm
+  SELECT CAST(COALESCE(SUM(r.rank_fp), 0) AS BIGINT) AS dm
   FROM r{p} r LEFT JOIN pdeg d USING (node) WHERE d.node IS NULL
 ),
 c{i} AS (
-  SELECT e.dst AS node, SUM(r.rank / d.deg) AS in_contrib
+  SELECT e.dst AS node,
+    CAST(SUM(r.rank_fp // d.deg) AS BIGINT) AS in_contrib
   FROM ent_edges e
   JOIN r{p} r ON e.src = r.node
   JOIN pdeg d ON d.node = e.src
@@ -572,13 +578,13 @@ c{i} AS (
 ),
 r{i} AS (
   SELECT n.node,
-    {omd} / nn.n
-      + {d} * (COALESCE(c.in_contrib, CAST(0.0 AS DOUBLE))
-               + dm.dm / nn.n) AS rank
+    CAST({base_num} // nn.n
+      + ({num} * (COALESCE(c.in_contrib, 0) + dm.dm // nn.n)) // {den}
+      AS BIGINT) AS rank_fp
   FROM pnodes n LEFT JOIN c{i} c USING (node), dm{i} dm, nn
 )""")
     parts.append(f"""
-SELECT node, round(rank, 6) AS pagerank FROM r{n_iter}""")
+SELECT node, rank_fp FROM r{n_iter}""")
     return "".join(parts)
 
 

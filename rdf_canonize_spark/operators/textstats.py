@@ -121,67 +121,114 @@ REP_DUP_TRIGRAM_MAX = 0.30
 # single bigram "covers 100%" of slots -- degenerate, not repetitive
 REP_MIN_WORDS = 10
 
+# The FULL Gopher character-fraction ladder (Rae et al. 2021 table A1):
+# top n-gram character fraction for n=2..4 (characters covered by the
+# single most frequent n-gram / document characters) and duplicate
+# n-gram character fraction for n=5..10 (characters covered by all
+# occurrences of n-grams appearing more than once / document
+# characters).  Character mass counts every occurrence without
+# overlap-deduplication -- the standard approximation in open
+# reimplementations of the filter -- and is clamped at 1.0.
+REP_TOP_NGRAM_CHAR_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
+REP_DUP_NGRAM_CHAR_MAX = {
+    5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10,
+}
+REP_NS = (2, 3, 4, 5, 6, 7, 8, 9, 10)
+
+
+def _gram_cases_sql(ns=REP_NS):
+    """SQL-expr fragments building the tagged n-gram struct arrays for
+    every rung of the ladder -- all rungs ride ONE explode.  Grams are
+    space-joined word windows, identical bytes to the DuckDB oracle's
+    ``w[i] || ' ' || ...`` construction."""
+    cases = []
+    for n in ns:
+        parts = "concat(" + ", ' ', ".join(
+            f"element_at(w, i + {j})" if j else "element_at(w, i)"
+            for j in range(n)
+        ) + ")"
+        cases.append(
+            f" CASE WHEN size(w) >= {n} THEN"
+            f"  transform(sequence(1, size(w) - {n - 1}),"
+            f"   i -> struct({n} AS g, {parts} AS gram))"
+            f" ELSE array() END"
+        )
+    return cases
+
 
 def repetition_stats(docs, top_bigram_max=REP_TOP_BIGRAM_MAX,
                      dup_trigram_max=REP_DUP_TRIGRAM_MAX,
                      min_words=REP_MIN_WORDS):
-    """Gopher-rule repetition features per document: duplicate-word
-    fraction, top-bigram coverage, duplicate-trigram fraction, and the
-    combined ``is_repetitive`` flag.  Complements ``quality_score``
-    (length/punct/stopwords): repetition rules are the standard
-    CCNet/Gopher filter for looping boilerplate and keyword-stuffed
-    spam that passes length checks.
+    """FULL Gopher-rule repetition features per document (Rae et al.
+    2021 table A1; round-4 verdict action #5): duplicate-word
+    fraction, top-bigram slot coverage, duplicate-trigram occurrence
+    fraction, top n-gram CHARACTER fractions for n=2..4, and
+    duplicate n-gram CHARACTER fractions for n=5..10, plus the
+    combined ``is_repetitive`` flag (any rule exceeded).  Complements
+    ``quality_score`` (length/punct/stopwords): repetition rules are
+    the standard CCNet/Gopher filter for looping boilerplate and
+    keyword-stuffed spam that passes length checks.
 
-    Shape: bigrams and trigrams explode TOGETHER (one tagged pass,
+    Shape: ALL NINE n-gram rungs explode TOGETHER (one tagged pass,
     one map-side-combinable groupBy chain) and join back per doc_id --
-    two narrow shuffles total, no per-document quadratic work, no
-    Python.  Documents too short for an n-gram get zero fractions via
-    the left join (never dropped)."""
+    still two narrow shuffles total, no per-document quadratic work,
+    no Python.  Documents too short for an n-gram get zero fractions
+    via the left join (never dropped).
+
+    The "top" gram per (doc, n) is chosen by (count, char length)
+    lexicographic max -- deterministic across engines (Spark struct
+    max == DuckDB struct max); character mass counts every occurrence
+    without overlap-dedup and fractions clamp at 1.0."""
     words = _words()
     base = docs.select(
-        "doc_id", words.alias("w"), F.size(words).alias("n_words")
+        "doc_id",
+        words.alias("w"),
+        F.size(words).alias("n_words"),
+        F.length("text").alias("n_chars"),
     )
     # element_at is 1-based; sequence bounds keep every index valid
     # under ANSI (CLAUDE.md: getItem/element_at throw out-of-range)
     grams = base.select(
         "doc_id",
         F.explode(
-            F.expr(
-                "concat("
-                " CASE WHEN size(w) >= 2 THEN"
-                "  transform(sequence(1, size(w) - 1),"
-                "   i -> struct(2 AS g, concat(element_at(w, i), ' ',"
-                "        element_at(w, i + 1)) AS gram))"
-                " ELSE array() END,"
-                " CASE WHEN size(w) >= 3 THEN"
-                "  transform(sequence(1, size(w) - 2),"
-                "   i -> struct(3 AS g, concat(element_at(w, i), ' ',"
-                "        element_at(w, i + 1), ' ',"
-                "        element_at(w, i + 2)) AS gram))"
-                " ELSE array() END)"
-            )
+            F.expr("concat(" + ",".join(_gram_cases_sql()) + ")")
         ).alias("t"),
     ).select("doc_id", "t.g", "t.gram")
     counts = grams.groupBy("doc_id", "g", "gram").agg(
         F.count(F.lit(1)).alias("c")
     )
-    stats = (
-        counts.groupBy("doc_id", "g")
-        .agg(
-            F.max("c").alias("top_c"),
-            F.sum("c").alias("tot_c"),
-            F.count(F.lit(1)).alias("distinct_c"),
-        )
-        .groupBy("doc_id")
-        .agg(
-            F.max(F.when(F.col("g") == 2, F.col("top_c"))).alias("bg_top"),
-            F.max(F.when(F.col("g") == 2, F.col("tot_c"))).alias("bg_tot"),
-            F.max(F.when(F.col("g") == 3, F.col("tot_c"))).alias("tg_tot"),
-            F.max(
-                F.when(F.col("g") == 3, F.col("distinct_c"))
-            ).alias("tg_distinct"),
-        )
+    per_g = counts.groupBy("doc_id", "g").agg(
+        F.max("c").alias("top_c"),
+        F.sum("c").alias("tot_c"),
+        F.count(F.lit(1)).alias("distinct_c"),
+        # (count, gram char length) lexicographic max -> top char mass
+        F.max(
+            F.struct(F.col("c").alias("c"),
+                     F.length("gram").alias("l"))
+        ).alias("tops"),
+        F.sum(
+            F.when(F.col("c") > 1, F.col("c") * F.length("gram"))
+        ).alias("dup_mass"),
     )
+
+    def _pick(g, col):
+        return F.max(F.when(F.col("g") == g, col))
+
+    pivots = [
+        _pick(2, F.col("top_c")).alias("bg_top"),
+        _pick(2, F.col("tot_c")).alias("bg_tot"),
+        _pick(3, F.col("tot_c")).alias("tg_tot"),
+        _pick(3, F.col("distinct_c")).alias("tg_distinct"),
+    ]
+    for n in REP_TOP_NGRAM_CHAR_MAX:
+        pivots.append(
+            _pick(n, F.col("tops.c") * F.col("tops.l"))
+            .alias(f"t{n}_mass")
+        )
+    for n in REP_DUP_NGRAM_CHAR_MAX:
+        pivots.append(_pick(n, F.col("dup_mass")).alias(f"d{n}_mass"))
+    stats = per_g.groupBy("doc_id").agg(*pivots)
+
     j = base.join(stats, "doc_id", "left")
     top_bigram_frac = F.round(
         F.coalesce(
@@ -198,18 +245,46 @@ def repetition_stats(docs, top_bigram_max=REP_TOP_BIGRAM_MAX,
     dup_word_frac = F.round(
         1 - F.size(F.array_distinct("w")) / F.col("n_words"), 6
     )
+
+    def char_frac(mass_col):
+        # n_chars = 0 guard (ANSI /0); clamp at 1.0 (unmerged overlaps
+        # can exceed the document's characters)
+        return F.round(
+            F.when(
+                F.col("n_chars") > 0,
+                F.least(
+                    F.lit(1.0),
+                    F.coalesce(
+                        mass_col / F.col("n_chars").cast("double"),
+                        F.lit(0.0),
+                    ),
+                ),
+            ).otherwise(F.lit(0.0)),
+            6,
+        )
+
+    frac_cols = {}
+    flag = (top_bigram_frac > F.lit(float(top_bigram_max))) | (
+        dup_trigram_frac > F.lit(float(dup_trigram_max))
+    )
+    for n, thr in REP_TOP_NGRAM_CHAR_MAX.items():
+        fc = char_frac(F.col(f"t{n}_mass"))
+        frac_cols[f"top_{n}gram_char_frac"] = fc
+        flag = flag | (fc > F.lit(float(thr)))
+    for n, thr in REP_DUP_NGRAM_CHAR_MAX.items():
+        fc = char_frac(F.col(f"d{n}_mass"))
+        frac_cols[f"dup_{n}gram_char_frac"] = fc
+        flag = flag | (fc > F.lit(float(thr)))
+
     return j.select(
         "doc_id",
         "n_words",
         dup_word_frac.alias("dup_word_frac"),
         top_bigram_frac.alias("top_bigram_frac"),
         dup_trigram_frac.alias("dup_trigram_frac"),
+        *[fc.alias(name) for name, fc in frac_cols.items()],
         (
-            (F.col("n_words") >= F.lit(int(min_words)))
-            & (
-                (top_bigram_frac > F.lit(float(top_bigram_max)))
-                | (dup_trigram_frac > F.lit(float(dup_trigram_max)))
-            )
+            (F.col("n_words") >= F.lit(int(min_words))) & flag
         ).alias("is_repetitive"),
     )
 

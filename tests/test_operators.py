@@ -374,6 +374,59 @@ def test_hyperplane_bucket_occupancy_bounded_at_10x(spark):
     assert cost_big <= 3 * cost_small
 
 
+def test_semantic_dedup_cell_occupancy_bounded_at_10x(spark):
+    """Round-4 verdict action #2 scale contract: with the scaled
+    configuration k = max(IVF_K, n // target_occupancy), the
+    within-cell pair-join cost per vector (sum s^2 / N over cell
+    sizes s) stays bounded when the corpus grows 10x -- the fixed-k
+    form's cost would grow ~10x.  Mirrors
+    test_hyperplane_bucket_occupancy_bounded_at_10x for the Voronoi
+    cell bucketing."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(20260817)
+    dim = similarity.EMB_DIM
+    target = similarity.SEMDEDUP_TARGET_OCCUPANCY
+
+    def occupancies(n):
+        vecs = rng.standard_normal((n, dim))
+        pdf = pd.DataFrame(
+            {
+                "vec_id": range(n),
+                "v": [list(map(float, v)) for v in vecs],
+                "label": ["x"] * n,
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        k = similarity.scaled_n_cells(n)
+        cents = similarity.init_centroids(df, k=k, n=n).localCheckpoint()
+        assigned = similarity.assign_cells(df, cents)
+        return k, [
+            r["n"]
+            for r in assigned.groupBy("cell_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        ]
+
+    n_small, n_big = 800, 8000
+    k_small, occ_small = occupancies(n_small)
+    k_big, occ_big = occupancies(n_big)
+    # k scales with the corpus (x10 here), so expected occupancy is
+    # design-constant at `target` on both corpora
+    assert k_small == n_small // target
+    assert k_big == n_big // target
+    assert sum(occ_small) == n_small and sum(occ_big) == n_big
+    # the pair-join cost per vector (sum s^2 / N) must not grow ~10x
+    # as it would with fixed k; Voronoi cells of stride-picked
+    # centroids are less uniform than hyperplane buckets, so allow
+    # concentration slack on the absolute bound
+    cost_small = sum(s * s for s in occ_small) / n_small
+    cost_big = sum(s * s for s in occ_big) / n_big
+    assert cost_big <= 3 * cost_small
+    assert cost_big <= 10 * target
+
+
 def test_lang_id_and_token_counts_sane(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     li = lang_id(docs)
@@ -750,6 +803,38 @@ def test_pagerank_semantics(spark):
     assert abs(pr2["y"] - 0.5) < 1e-12
 
 
+def test_pagerank_fixedpoint_matches_float_and_partitioning(spark):
+    """The contract form (round-4 verdict action #4): fixed-point
+    bigint ranks (a) track the float ranks within the documented
+    <1e-9 absolute flooring loss, and (b) are EXACTLY invariant to
+    input partitioning -- the property float summation cannot give
+    and the reason the contract query uses this form."""
+    from rdf_canonize_spark.operators.graph import (
+        PR_SCALE,
+        pagerank,
+        pagerank_fixedpoint,
+    )
+
+    edges = [("a", "c"), ("b", "c"), ("c", "d"), ("d", "a"),
+             ("e", "a"), ("e", "c"), ("f", "f")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    fp = {r["node"]: r["rank_fp"]
+          for r in pagerank_fixedpoint(df, n_iter=10).collect()}
+    fl = {r["node"]: r["rank"]
+          for r in pagerank(df, n_iter=10).collect()}
+    assert set(fp) == set(fl)
+    for node in fl:
+        assert abs(fp[node] / PR_SCALE - fl[node]) < 1e-9
+    # exact partitioning invariance: 1 partition vs 7 partitions
+    fp1 = {r["node"]: r["rank_fp"]
+           for r in pagerank_fixedpoint(
+               df.coalesce(1), n_iter=10).collect()}
+    fp7 = {r["node"]: r["rank_fp"]
+           for r in pagerank_fixedpoint(
+               df.repartition(7), n_iter=10).collect()}
+    assert fp1 == fp7 == fp
+
+
 def test_sample_frames_slicing_exact(spark):
     """Frame sampling slices bytes exactly: offsets, lengths (short
     tail frame), sampled indices, and digests over known payloads."""
@@ -927,6 +1012,91 @@ def test_repetition_stats_planted(spark):
     assert got[5]["dup_trigram_frac"] == 0.0
     # ...but the min-length gate keeps short docs unflagged
     assert not got[5]["is_repetitive"]
+
+
+def test_repetition_char_ladder_full_gopher(spark):
+    """The FULL Gopher ladder (round-4 verdict action #5): top n-gram
+    char fractions (n=2..4) and dup n-gram char fractions (n=5..10)
+    checked column-by-column against an independent pure-Python
+    reference on planted per-rule documents, plus flag expectations:
+    a repeated long sentence trips the dup-5..10 char rules; a stuffed
+    4-gram trips the top-2/3/4 char rules; varied prose trips none."""
+    from rdf_canonize_spark.operators.textstats import (
+        REP_DUP_NGRAM_CHAR_MAX,
+        REP_MIN_WORDS,
+        REP_TOP_NGRAM_CHAR_MAX,
+        repetition_stats,
+    )
+
+    def ref_fracs(text):
+        w = text.split(" ")
+        n_chars = len(text)
+        out = {}
+
+        def counts(n):
+            c = {}
+            for i in range(len(w) - n + 1):
+                g = " ".join(w[i: i + n])
+                c[g] = c.get(g, 0) + 1
+            return c
+
+        def frac(mass):
+            if n_chars == 0:
+                return 0.0
+            return round(min(1.0, mass / n_chars), 6)
+
+        for n in REP_TOP_NGRAM_CHAR_MAX:
+            c = counts(n)
+            if c:
+                top_c, top_l = max(
+                    (cnt, len(g)) for g, cnt in c.items()
+                )
+                out[f"top_{n}gram_char_frac"] = frac(top_c * top_l)
+            else:
+                out[f"top_{n}gram_char_frac"] = 0.0
+        for n in REP_DUP_NGRAM_CHAR_MAX:
+            c = counts(n)
+            mass = sum(cnt * len(g) for g, cnt in c.items() if cnt > 1)
+            out[f"dup_{n}gram_char_frac"] = frac(mass)
+        return out
+
+    sentence = "the quick brown fox jumps over the lazy dog again"
+    looped_sentence = " ".join(
+        [sentence, "u1", sentence, "u2", sentence, "u3"]
+    )
+    stuffed4 = " ".join(
+        [f"buy cheap watches now f{i}" for i in range(12)]
+    )
+    prose = " ".join(f"w{i} x{i * 3 % 11} y{i * 7 % 13}"
+                     for i in range(40))
+    rows = [
+        (1, looped_sentence), (2, stuffed4), (3, prose),
+        (4, "single"), (5, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert len(got) == 5
+    for doc_id, text in rows:
+        exp = ref_fracs(text)
+        for name, val in exp.items():
+            assert got[doc_id][name] == val, (doc_id, name)
+    # the repeated sentence trips every dup rung its length reaches
+    for n in REP_DUP_NGRAM_CHAR_MAX:
+        assert got[1][f"dup_{n}gram_char_frac"] > \
+            REP_DUP_NGRAM_CHAR_MAX[n]
+    assert got[1]["is_repetitive"]
+    # the stuffed 4-gram trips the top-2/3/4 char rules
+    for n in REP_TOP_NGRAM_CHAR_MAX:
+        assert got[2][f"top_{n}gram_char_frac"] > \
+            REP_TOP_NGRAM_CHAR_MAX[n]
+    assert got[2]["is_repetitive"]
+    assert not got[3]["is_repetitive"]
+    # degenerate docs: zero char fractions everywhere, unflagged
+    for doc_id in (4, 5):
+        for n in REP_TOP_NGRAM_CHAR_MAX:
+            assert got[doc_id][f"top_{n}gram_char_frac"] in (0.0, 1.0)
+        assert not got[doc_id]["is_repetitive"]
+    assert got[3]["n_words"] >= REP_MIN_WORDS
 
 
 def test_segment_tokenizer_vertical_tab_parity(spark):
