@@ -843,7 +843,10 @@ def q_embedding_near_dups_banded(spark, sf_dir):
 
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: binary payloads -> Arrow-batched feature
-    extraction (decode stubbed; metadata columns oracle-checked)."""
+    extraction.  Decode is REAL for uncompressed rasters (pure-Python
+    BMP/PPM parsers); the html corpus takes the deterministic digest
+    fallback ('stubbed'), which the oracle checks alongside the
+    metadata columns."""
     from rdf_canonize_spark.operators import multimodal
 
     pages = pages_from_documents(spark, sf_dir)

@@ -1,11 +1,13 @@
 """Multimodal column handling: opaque ``binary`` payloads + typed
 metadata, processed through Arrow-batched ``mapInPandas``.
 
-The container has no image/audio libraries, so the *decode* kernels are
-stubbed exactly as the task prescribes: a clearly-marked
-``NotImplementedError`` path behind an import-try, with a
-deterministic fake used in its place.  Everything Spark-side is real
-and tested: schema, binary transport through Arrow, batch iteration
+The decode layer is REAL for uncompressed raster formats -- 24-bit
+BMP and binary PPM parse in pure Python + numpy (header + pixel
+stats), no library dependency -- and falls back to a deterministic
+digest feature (status 'stubbed') for payloads outside that coverage;
+PIL, behind an import-try, extends coverage to compressed formats on
+a production cluster.  Everything Spark-side is likewise real and
+tested: schema, binary transport through Arrow, batch iteration
 shape, partition-parallel execution.
 
 At 100 TB the important properties are the ones this module does
@@ -61,24 +63,141 @@ def attach_media(pages_df):
     )
 
 
-def _decode_image(payload: bytes):
-    """REAL decode path -- unavailable in this container.
+def _parse_bmp(payload: bytes):
+    """Pure-Python decode of an uncompressed 24-bit BMP
+    (BITMAPINFOHEADER, BI_RGB): returns (width, height, mean_r,
+    mean_g, mean_b).  Raises ValueError on a malformed or unsupported
+    BMP (truncated header, compressed, non-24-bit)."""
+    import struct
 
-    Raises ``NotImplementedError`` unless PIL is importable; callers
-    fall back to ``_fake_feature``.  On a production cluster this is
-    where ``Image.open(io.BytesIO(payload))`` + resize/frame-sample
-    would run, still inside the same Arrow batch loop.
-    """
-    if not _HAVE_PIL:
-        raise NotImplementedError(
-            "image decode requires PIL; container has no decode libs"
-        )
-    raise NotImplementedError("real decode path not exercised in sandbox")
+    import numpy as np
+
+    if len(payload) < 54:
+        raise ValueError("BMP truncated header")
+    data_off, = struct.unpack_from("<I", payload, 10)
+    dib_size, = struct.unpack_from("<I", payload, 14)
+    if dib_size < 40:
+        raise ValueError("BMP unsupported DIB header")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp, = struct.unpack_from("<H", payload, 28)
+    compression, = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0:
+        raise ValueError("BMP unsupported (need 24-bit BI_RGB)")
+    rows = abs(height)
+    if width <= 0 or rows == 0:
+        raise ValueError("BMP bad dimensions")
+    stride = ((width * 3 + 3) // 4) * 4
+    need = data_off + stride * rows
+    if len(payload) < need:
+        raise ValueError("BMP truncated pixel data")
+    px = (
+        np.frombuffer(payload, dtype=np.uint8,
+                      count=stride * rows, offset=data_off)
+        .reshape(rows, stride)[:, : width * 3]
+        .reshape(-1, 3)
+        .astype(np.float64)
+    )
+    # BMP stores BGR
+    means = px.mean(axis=0)
+    return width, rows, float(means[2]), float(means[1]), float(means[0])
+
+
+def _parse_ppm(payload: bytes):
+    """Pure-Python decode of a binary PPM (P6, maxval <= 255):
+    returns (width, height, mean_r, mean_g, mean_b).  Raises
+    ValueError on malformed input.  Header = 'P6', then
+    whitespace/comment-separated width height maxval, one whitespace,
+    then raw RGB."""
+    import numpy as np
+
+    if payload[:2] != b"P6":
+        raise ValueError("not P6")
+    pos = 2
+    fields = []
+    while len(fields) < 3:
+        # skip whitespace and '#' comments
+        while pos < len(payload) and payload[pos: pos + 1].isspace():
+            pos += 1
+        if pos < len(payload) and payload[pos: pos + 1] == b"#":
+            nl = payload.find(b"\n", pos)
+            if nl < 0:
+                raise ValueError("PPM truncated comment")
+            pos = nl + 1
+            continue
+        start = pos
+        while pos < len(payload) and payload[pos: pos + 1].isdigit():
+            pos += 1
+        if pos == start:
+            raise ValueError("PPM bad header field")
+        fields.append(int(payload[start:pos]))
+    if pos >= len(payload) or not payload[pos: pos + 1].isspace():
+        raise ValueError("PPM missing header terminator")
+    pos += 1
+    width, height, maxval = fields
+    if width <= 0 or height <= 0 or not (0 < maxval <= 255):
+        raise ValueError("PPM unsupported dimensions/maxval")
+    need = width * height * 3
+    if len(payload) - pos < need:
+        raise ValueError("PPM truncated pixel data")
+    px = (
+        np.frombuffer(payload, dtype=np.uint8, count=need, offset=pos)
+        .reshape(-1, 3)
+        .astype(np.float64)
+    )
+    means = px.mean(axis=0) * (255.0 / maxval)
+    return width, height, float(means[0]), float(means[1]), float(means[2])
+
+
+def _decode_image(payload: bytes):
+    """REAL decode path, no library dependency: uncompressed BMP and
+    binary PPM are parsed in pure Python + numpy (header + pixel
+    stats).  Returns (width, height, mean_r, mean_g, mean_b) or None
+    when the payload is not a supported raster format (callers then
+    keep the deterministic digest feature with status 'stubbed').
+    Raises ValueError on a recognized-but-malformed payload (status
+    'decode-error').
+
+    On a production cluster PIL extends coverage to compressed
+    formats (``Image.open(io.BytesIO(payload))``, same return shape,
+    still inside the same Arrow batch loop); the import-try keeps
+    that optional."""
+    if payload[:2] == b"BM":
+        return _parse_bmp(payload)
+    if payload[:2] == b"P6":
+        return _parse_ppm(payload)
+    if _HAVE_PIL:
+        import io
+
+        import numpy as np
+
+        img = Image.open(io.BytesIO(payload)).convert("RGB")
+        arr = np.asarray(img, dtype=np.float64).reshape(-1, 3)
+        m = arr.mean(axis=0)
+        return img.width, img.height, float(m[0]), float(m[1]), float(m[2])
+    return None
+
+
+def _decoded_feature(width, height, mean_r, mean_g, mean_b):
+    """Fixed-width [0,1] feature vector from real decode stats:
+    normalized dims, per-channel means, grayscale mean, pixel count.
+    Deterministic pure function of the decoded stats."""
+    gray = (mean_r + mean_g + mean_b) / 3.0
+    return [
+        round(min(width / 4096.0, 1.0), 6),
+        round(min(height / 4096.0, 1.0), 6),
+        round(mean_r / 255.0, 6),
+        round(mean_g / 255.0, 6),
+        round(mean_b / 255.0, 6),
+        round(gray / 255.0, 6),
+        round(min(width * height / 2.0 ** 24, 1.0), 6),
+        0.0,
+    ]
 
 
 def _fake_feature(payload: bytes):
-    """Deterministic stand-in feature: 8 floats derived from the
-    payload digest (stable across partitioning and retries)."""
+    """Deterministic stand-in feature for non-raster payloads: 8
+    floats derived from the payload digest (stable across
+    partitioning and retries)."""
     digest = hashlib.sha256(payload).digest()
     return [
         round(int.from_bytes(digest[4 * i: 4 * i + 4], "big")
@@ -102,12 +221,18 @@ def extract_media_features(media_df):
             for url, payload, mtype in zip(urls, payloads, types):
                 payload = bytes(payload) if payload is not None else b""
                 try:
-                    _decode_image(payload)
-                    status = "decoded"
-                    feat = None  # unreachable in sandbox
-                except NotImplementedError:
-                    status = "stubbed"
+                    stats = _decode_image(payload)
+                except ValueError:
+                    stats = None
+                    status = "decode-error"
                     feat = _fake_feature(payload)
+                else:
+                    if stats is None:
+                        status = "stubbed"
+                        feat = _fake_feature(payload)
+                    else:
+                        status = "decoded"
+                        feat = _decoded_feature(*stats)
                 out["url"].append(url)
                 out["media_type"].append(mtype)
                 out["media_len"].append(len(payload))
@@ -167,10 +292,12 @@ def sample_frames(media_df, frame_size=FRAME_SIZE, every=FRAME_EVERY):
                     off = idx * frame_size
                     frame = payload[off: off + frame_size]
                     try:
-                        _decode_image(frame)
-                        status = "decoded"
-                    except NotImplementedError:
-                        status = "stubbed"
+                        status = (
+                            "decoded" if _decode_image(frame) is not None
+                            else "stubbed"
+                        )
+                    except ValueError:
+                        status = "decode-error"
                     out["url"].append(url)
                     out["frame_idx"].append(idx)
                     out["frame_offset"].append(off)

@@ -125,7 +125,11 @@ def manifest_path(out_dir):
 
 
 def resume_filter(spark, pages_df, out_dir):
-    """Drop pages already present in the completion manifest."""
+    """Drop pages already present in the completion manifest.  Also
+    sweeps legacy in-root staging leftovers first, so a dataset
+    resumed from the old layout reads clean (see
+    ``_clean_legacy_staging``)."""
+    _clean_legacy_staging(spark, out_dir)
     mpath = manifest_path(out_dir)
     try:
         done = spark.read.parquet(mpath).select("url")
@@ -138,6 +142,24 @@ def _fs_for(spark, path):
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+
+
+def _clean_legacy_staging(spark, out_dir):
+    """One-time migration sweep: an earlier writer staged INSIDE the
+    data root as ``canonical_nquads/batch=<id>.staging``; the current
+    writer stages under ``<out>/_staging``, but a crash under the old
+    layout can have left ``*.staging`` dirs that whole-table reads
+    would pick up as bogus string-valued ``batch`` partitions
+    (duplicated rows + a flipped partition type).  Deleting them is
+    always safe -- staging content is by definition uncommitted (the
+    old commit was a rename away from the ``.staging`` name)."""
+    data_root = os.path.join(out_dir, "canonical_nquads")
+    fs, root_p = _fs_for(spark, data_root)
+    if not fs.exists(root_p):
+        return
+    for st in fs.listStatus(root_p):
+        if st.getPath().getName().endswith(".staging"):
+            fs.delete(st.getPath(), True)
 
 
 def write_batch(canonical_df, out_dir, batch_id, fmt="parquet",
@@ -176,6 +198,7 @@ def write_batch(canonical_df, out_dir, batch_id, fmt="parquet",
     data_path = os.path.join(out_dir, "canonical_nquads", f"batch={batch_id}")
     if nonempty_hint is False:
         return
+    _clean_legacy_staging(spark, out_dir)
     staging = os.path.join(out_dir, "_staging", f"batch={batch_id}")
     canonical_df.write.mode("overwrite").format(fmt).save(staging)
     fs, staging_p = _fs_for(spark, staging)

@@ -53,3 +53,59 @@ def read_schema(df):
 def codegen_spans(df):
     plan = executed_plan(df)
     return plan.count("WholeStageCodegen")
+
+
+def _window_groups(line):
+    """Top-level ``[...]`` argument groups of a ``Window`` plan line,
+    WITH their contents.  The printed forms:
+
+    * ``Window [exprs], [partitionSpec], [orderSpec]`` -- 3 groups
+    * ``Window [exprs], [partitionSpec]`` -- partitionBy, no orderBy
+    * ``Window [exprs], [orderSpec]``     -- orderBy, NO partitioning
+    * ``Window [exprs]``                  -- neither
+
+    The 2-group forms are distinguished by the sort markers order
+    specs always print (``ASC NULLS``/``DESC NULLS``)."""
+    start = line.find("Window ")
+    if start < 0:
+        return []
+    depth = 0
+    groups = []
+    buf = []
+    for ch in line[start + len("Window "):]:
+        if ch == "[":
+            if depth == 0:
+                buf = []
+            depth += 1
+            if depth == 1:
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append("".join(buf))
+                continue
+        if depth >= 1:
+            buf.append(ch)
+    return groups
+
+
+def count_global_windows(df):
+    """Number of Window operators with NO partition spec -- each one
+    is a single-task sort of its whole input (WindowExec's 'No
+    Partition Defined' warning).  Structurally fine only when the
+    frame is provably tiny (e.g. a k-row candidate pool); the plan
+    audit requires such cases to be footnoted (round-4 verdict
+    action #7)."""
+    plan = executed_plan(df)
+    n = 0
+    for line in plan.splitlines():
+        if not re.search(r"\bWindow\b ", line):
+            continue
+        groups = _window_groups(line)
+        if len(groups) <= 1:
+            n += 1
+        elif len(groups) == 2 and re.search(
+            r"\b(ASC|DESC) NULLS", groups[1]
+        ):
+            n += 1
+    return n

@@ -71,6 +71,35 @@ def start_crawl_rate_stream(spark, in_dir, out_dir, window="10 minutes",
     )
 
 
+def _check_sink_layout(spark, out_dir):
+    """Refuse a sink root written by the PRE-partitioned sink.  The
+    current sink writes ``canonical_nquads_stream/batch_id=<id>/``
+    partition dirs; an earlier version appended flat part files at the
+    root.  Restarting over such a root would mix root-level data files
+    with partition subdirectories, which Spark's partition discovery
+    rejects ("conflicting directory structures") -- breaking reads of
+    previously valid output.  Detecting it up front turns a confusing
+    mid-read failure into an actionable error: point the stream at a
+    fresh root, or move the legacy files into a ``batch_id=-1/``
+    subdirectory to adopt them."""
+    from ..pipeline.materialize import _fs_for
+
+    sink = os.path.join(out_dir, "canonical_nquads_stream")
+    fs, sink_p = _fs_for(spark, sink)
+    if not fs.exists(sink_p):
+        return
+    for st in fs.listStatus(sink_p):
+        name = st.getPath().getName()
+        if st.isFile() and not name.startswith(("_", ".")):
+            raise ValueError(
+                f"legacy flat-append sink layout at {sink}: root-level "
+                f"data file {name!r} would conflict with the "
+                "batch_id=<id> partition layout on read. Use a new "
+                "output root, or move legacy files into a "
+                "batch_id=-1/ subdirectory."
+            )
+
+
 def start_canonize_stream(spark, in_dir, out_dir, max_work_factor=3,
                           fault_injector=None):
     """pages stream -> canonical N-Quads parquet, exactly-once.
@@ -95,6 +124,7 @@ def start_canonize_stream(spark, in_dir, out_dir, max_work_factor=3,
     from ..pipeline.canon_stage import canonize_documents
     from ..pipeline.link import build_quads, gazetteer_df
 
+    _check_sink_layout(spark, out_dir)
     gaz = gazetteer_df(spark)
     pages = stream_pages(spark, in_dir)
 

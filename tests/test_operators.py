@@ -455,6 +455,75 @@ def test_media_features_deterministic_and_stubbed(spark, sf_dir):
     assert a == b
 
 
+def _make_bmp(width, height, pixels_rgb):
+    """Minimal uncompressed 24-bit BMP (BITMAPINFOHEADER, bottom-up).
+    ``pixels_rgb``: row-major top-down [(r,g,b), ...]."""
+    import struct
+
+    stride = ((width * 3 + 3) // 4) * 4
+    rows = []
+    for y in reversed(range(height)):  # bottom-up storage
+        row = bytearray()
+        for x in range(width):
+            r, g, b = pixels_rgb[y * width + x]
+            row += bytes([b, g, r])
+        row += b"\x00" * (stride - len(row))
+        rows.append(bytes(row))
+    pix = b"".join(rows)
+    header = b"BM" + struct.pack(
+        "<IHHI", 54 + len(pix), 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pix),
+        2835, 2835, 0, 0,
+    )
+    return header + pix
+
+
+def test_media_features_real_bmp_ppm_decode(spark):
+    """Round-4 verdict action #6: the decode path is REAL for
+    uncompressed rasters -- planted BMP and PPM payloads come back
+    'decoded' with exact width/height/mean-pixel features; a
+    truncated BMP is 'decode-error'; non-raster payloads keep the
+    deterministic digest feature ('stubbed')."""
+    from rdf_canonize_spark.operators import multimodal
+
+    # 2x2 BMP: pure red, green, blue, white -> means (127.5+64=...)
+    px = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255)]
+    bmp = _make_bmp(2, 2, px)
+    # 2x1 PPM with a comment line: black + mid-gray
+    ppm = b"P6\n# planted\n2 1\n255\n" + bytes([0, 0, 0, 128, 128, 128])
+    rows = [
+        ("u_bmp", bytearray(bmp), "image/bmp"),
+        ("u_ppm", bytearray(ppm), "image/x-portable-pixmap"),
+        ("u_trunc", bytearray(bmp[:40]), "image/bmp"),
+        ("u_html", bytearray(b"<html>x</html>"), "text/html"),
+    ]
+    media = spark.createDataFrame(
+        rows, "url string, media binary, media_type string"
+    )
+    got = {r["url"]: r
+           for r in multimodal.extract_media_features(media).collect()}
+    tol = 1e-6  # feature column is float32
+    b = got["u_bmp"]
+    assert b["decode_status"] == "decoded"
+    assert abs(b["feature"][0] - 2 / 4096.0) < tol
+    assert abs(b["feature"][1] - 2 / 4096.0) < tol
+    for i, ch in enumerate([0, 1, 2]):
+        mean_c = sum(c[ch] for c in px) / 4.0
+        assert abs(b["feature"][2 + i] - mean_c / 255.0) < tol
+    p = got["u_ppm"]
+    assert p["decode_status"] == "decoded"
+    assert abs(p["feature"][2] - 64 / 255.0) < tol
+    assert got["u_trunc"]["decode_status"] == "decode-error"
+    assert got["u_html"]["decode_status"] == "stubbed"
+    # stubbed/decode-error features remain the digest fake
+    fake = multimodal._fake_feature(b"<html>x</html>")
+    assert all(
+        abs(a - e) < tol
+        for a, e in zip(got["u_html"]["feature"], fake)
+    )
+
+
 def test_sql_first_degree_hash_matches_python_kernel(spark, sf_dir):
     """The relational O4 fast path must byte-match the Python kernel's
     first-degree hashes for every (url, bnode) in the pipeline corpus."""

@@ -184,6 +184,18 @@ def test_checkpoint_resume(spark, tmp_path):
     done = spark.read.parquet(f"{out}/canonical_nquads")
     assert done.count() == 30
     assert dict(done.dtypes)["batch"] == "int"
+    # legacy-layout migration: a crashed PRE-round-4 run staged INSIDE
+    # the data root as batch=<id>.staging -- resume_filter / write_batch
+    # must sweep such leftovers so whole-table reads stay clean
+    pages.limit(3).write.parquet(f"{out}/canonical_nquads/batch=9.staging")
+    remaining2 = resume_filter(spark, pages, out)
+    assert remaining2.count() == 0
+    import os
+
+    assert not os.path.exists(f"{out}/canonical_nquads/batch=9.staging")
+    done = spark.read.parquet(f"{out}/canonical_nquads")
+    assert done.count() == 30
+    assert dict(done.dtypes)["batch"] == "int"
 
 
 def test_pages_from_documents(spark, sf_dir):

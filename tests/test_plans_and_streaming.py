@@ -33,6 +33,41 @@ def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir):
     assert schemas and all("l_shipdate" not in s for s in schemas)
 
 
+def test_global_window_detection(spark):
+    """count_global_windows flags only UNPARTITIONED Window operators
+    (round-4 verdict action #7: the plan audit fails on unfootnoted
+    ones).  init_centroids carries exactly one -- its bounded
+    candidate-pool ranking -- which is the footnoted case."""
+    from pyspark.sql import Window
+
+    from rdf_canonize_spark.operators import similarity
+
+    df = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(1.0)] * 4).alias("v"),
+        (F.col("id") % 3).alias("k"),
+    )
+    part = df.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("k").orderBy("vec_id"))
+    )
+    assert checks.count_global_windows(part) == 0
+    # partitionBy with NO orderBy also prints two plan groups -- must
+    # not be mistaken for a global window (the false positive the
+    # sort-marker disambiguation exists for)
+    part_only = df.withColumn(
+        "avg_v", F.avg("vec_id").over(Window.partitionBy("k"))
+    )
+    assert checks.count_global_windows(part_only) == 0
+    glob = df.withColumn(
+        "rn", F.row_number().over(Window.orderBy("vec_id"))
+    )
+    assert checks.count_global_windows(glob) == 1
+    cents = similarity.init_centroids(
+        df.select("vec_id", "v"), k=8
+    )
+    assert checks.count_global_windows(cents) == 1
+
+
 def test_temporal_join_plan_shapes(spark, sf_dir):
     """The temporal operators must never degenerate to a per-key cross
     product: as-of is union + one window (key-partitioned exchanges
@@ -78,6 +113,36 @@ def test_streaming_canonize_exactly_once(spark, tmp_path):
     assert spark.read.parquet(
         f"{out_dir}/canonical_nquads_stream"
     ).count() == 40
+
+
+def test_streaming_canonize_legacy_flat_sink_refused(spark, tmp_path):
+    """A sink root written by the old flat-append layout (root-level
+    part files) must be refused up front with an actionable error --
+    partition discovery over mixed flat files + batch_id=<id> dirs
+    fails confusingly mid-read otherwise.  Underscore/dot files
+    (_SUCCESS, checkpoints) and a correctly-partitioned root are
+    fine."""
+    import pytest
+
+    from rdf_canonize_spark.streaming.ingest import start_canonize_stream
+
+    in_dir = str(tmp_path / "pages_in")
+    out_dir = str(tmp_path / "legacy_out")
+    synthesize_pages(spark, 5).write.parquet(in_dir)
+    sink = f"{out_dir}/canonical_nquads_stream"
+    # simulate the legacy flat sink: data files directly at the root
+    synthesize_pages(spark, 3).coalesce(1).write.parquet(sink)
+    with pytest.raises(ValueError, match="legacy flat-append"):
+        start_canonize_stream(spark, in_dir, out_dir)
+    # marker files alone do not trip the guard
+    import os
+
+    for name in os.listdir(sink):
+        if not name.startswith(("_", ".")):
+            os.remove(os.path.join(sink, name))
+    q = start_canonize_stream(spark, in_dir, out_dir)
+    q.awaitTermination(timeout=300)
+    assert spark.read.parquet(sink).count() == 5
 
 
 def test_streaming_canonize_crash_replay_exactly_once(spark, tmp_path):

@@ -354,6 +354,50 @@ case("RDFC10NegativeEvalTest", "bipartite 4x4 poison at medium budget",
      nq(*["_:u%d <http://ex/e> _:v%d" % (i, j)
           for i in range(4) for j in range(4)]), "medium")
 
+# --- round-5 expansion: line handling, label scope, grammar-parity
+# negatives, and hash-variant MAP divergence (the issued map itself
+# depends on the digest, so each algorithm gets its own map golden) ----------
+case("RDFC10EvalTest", "blank and whitespace-only lines are skipped",
+     "_:a <http://ex/p> \"v\" ." + chr(10) + chr(10) + "   "
+     + chr(10) + chr(9) + chr(10)
+     + "_:a <http://ex/q> _:b ." + chr(10) + chr(10), "low",
+     with_map=True)
+case("RDFC10EvalTest", "CRLF and bare-CR line endings parse as EOLN",
+     "_:a <http://ex/p> \"v\" ." + chr(13) + chr(10)
+     + "_:a <http://ex/q> _:b ." + chr(13), "low", with_map=True)
+case("RDFC10NegativeEvalTest", "comment lines are not N-Quads",
+     "# not a quad" + chr(10)
+     + "<http://ex/s> <http://ex/p> \"v\" ." + chr(10), "low")
+case("RDFC10NegativeEvalTest", "language tag must start alphabetic",
+     "_:a <http://ex/p> \"v\"@9x ." + chr(10), "low")
+case("RDFC10NegativeEvalTest",
+     "astral char in bnode label rejected (PN_CHARS gap parity)",
+     "_:x" + chr(0x10400) + " <http://ex/p> \"v\" ." + chr(10), "low")
+case("RDFC10EvalTest", "bnode label scope spans default and named graphs",
+     nq("_:x <http://ex/p> \"in default\"",
+        "_:x <http://ex/p> \"in g\" <http://ex/g>",
+        "_:x <http://ex/p> \"in bg\" _:g",
+        "_:g <http://ex/meta> \"named by bnode\""), "medium",
+     with_map=True)
+case("RDFC10EvalTest", "all ECHAR escapes in one literal",
+     "<http://ex/s> <http://ex/p> \"t:" + chr(92) + "t b:" + chr(92)
+     + "b n:" + chr(92) + "n r:" + chr(92) + "r f:" + chr(92)
+     + "f q:" + chr(92) + chr(34) + " bs:" + chr(92) + chr(92)
+     + "\" ." + chr(10), "low")
+case("RDFC10EvalTest", "sha384 map over double circle of 4", nq(*(
+    ["_:d%d <http://ex/n> _:d%d" % (i, (i + 1) % 4) for i in range(4)]
+    + ["_:d%d <http://ex/m> _:d%d" % ((i + 1) % 4, i)
+       for i in range(4)])), "high", hash_algorithm="SHA384",
+    with_map=True)
+case("RDFC10EvalTest", "sha512 map over wide fan-in", nq(*(
+    ["_:f%d <http://ex/to> _:sink" % i for i in range(6)]
+    + ["_:sink <http://ex/label> \"sink\""])), "medium",
+    hash_algorithm="SHA512", with_map=True)
+case("RDFC10EvalTest", "sha384 triple isomorphic twins", nq(
+    "_:a0 <http://ex/p> _:a1", "_:b0 <http://ex/p> _:b1",
+    "_:c0 <http://ex/p> _:c1"), "medium", hash_algorithm="SHA384",
+    with_map=True)
+
 
 def main():
     rdfc10_dir = os.path.join(OUT, "rdfc10")
