@@ -650,6 +650,45 @@ def q_paragraph_dedup(spark, sf_dir):
     return dedup.paragraph_dedup(dedup.near_dup_corpus(spark, sf_dir))
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (hashed bag-of-tokens log-likelihood
+    ratio vs the lang='en' target), integerized to micro-nats per
+    bucket before the per-doc sum (operators/sampling.py)."""
+    from rdf_canonize_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    return sampling.dsir_weights(docs)
+
+
+def q_url_canonicalize(spark, sf_dir):
+    """SURT-form URL canonicalization over a synthetic recrawl corpus:
+    scheme/www/port/fragment/tracking-param/query-order folding as a
+    narrow Catalyst projection (operators/urls.py)."""
+    from rdf_canonize_spark.operators import urls
+
+    return urls.canonical_urls(urls.crawl_urls(spark, sf_dir)).select(
+        "doc_id", "url", "canonical_url"
+    )
+
+
+def q_url_dedup(spark, sf_dir):
+    """Canonical-URL recrawl dedup: fetch groups with count + keeper,
+    one uniform-key groupBy after the canonicalization projection."""
+    from rdf_canonize_spark.operators import urls
+
+    return urls.url_dedup(urls.crawl_urls(spark, sf_dir))
+
+
+def q_duplicate_spans(spark, sf_dir):
+    """Exact-substring duplicate spans (Lee et al. 2022 family):
+    offset-free merged runs of cross-document 13-grams -- the
+    suffix-array dedup use case as rolling-gram explode + md5 groupBy
+    + gaps-and-islands merge."""
+    return dedup.duplicate_spans(dedup.near_dup_corpus(spark, sf_dir))
+
+
 def _boiler_corpus(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -894,6 +933,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_trained_topk": q_ann_ivf_trained,  # new in round 4
         "text_repetition": q_text_repetition,  # new in round 4
         "semantic_dedup": q_semantic_dedup,  # new in round 4
+        "dedup_duplicate_spans": q_duplicate_spans,  # new in round 5
+        "url_canonicalize": q_url_canonicalize,  # new in round 5
+        "url_dedup": q_url_dedup,  # new in round 5
+        "docs_dsir_weights": q_dsir_weights,  # new in round 5
         "dedup_exact": q_dedup_exact,
         "paragraph_dedup": q_paragraph_dedup,
         "boilerplate_segments": q_boilerplate_segments,
@@ -956,6 +999,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lsh_verified": oracle_ops.lsh_verified_pairs(threshold=0.5),
         "dedup_clusters": oracle_ops.dedup_clusters(threshold=0.5),
         "dedup_simhash": oracle_ops.simhash(),
+        "dedup_duplicate_spans": oracle_ops.duplicate_spans(),
+        "url_canonicalize": oracle_ops.url_canonicalize(),
+        "url_dedup": oracle_ops.url_dedup(),
+        "docs_dsir_weights": oracle_ops.dsir_weights(),
         "paragraph_dedup": oracle_ops.paragraph_dedup(),
         "boilerplate_segments": oracle_ops.boilerplate_segments(),
         "remove_boilerplate": oracle_ops.remove_boilerplate(),

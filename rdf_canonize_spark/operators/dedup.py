@@ -521,3 +521,84 @@ def remove_boilerplate(docs, removal_df, words_per_seg=SEGMENT_WORDS):
             .alias("n_removed"),
         )
     )
+
+
+# --- exact-substring span dedup (offset-free) --------------------------------
+SPAN_NGRAM = 13
+
+
+def duplicate_spans(docs, n=SPAN_NGRAM, id_col="doc_id",
+                    text_col="text"):
+    """Exact-substring duplicate spans, the Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better")
+    family: maximal runs of word positions whose every ``n``-gram also
+    appears in ANOTHER document.  Unlike ``doc_segments`` (window-
+    ALIGNED units) this is offset-free -- a passage duplicated at any
+    word offset is found, the suffix-array use case re-expressed as
+    dataframe ops.  Output: one row per merged span,
+    ``(doc_id, span_start, span_end, span_words, n_grams)`` with
+    ``[span_start, span_end)`` in token positions.
+
+    Shape: rolling-gram explode (narrow, |words| rows -- same
+    amplification as the shingle pass), one md5-keyed groupBy to find
+    cross-document grams (uniform keys, map-side combinable), one
+    equi-join back on the gram hash, then a per-document
+    gaps-and-islands window merge (shuffle keyed by the uniform doc
+    id).  Three shuffles total, no all-pairs comparison anywhere; at
+    100 TB each is the textbook bounded shape.  A gram starting at
+    ``pos`` covers ``[pos, pos+n)``; consecutive duplicated grams
+    merge while the coverage stays contiguous (gap <= n)."""
+    from pyspark.sql import Window
+
+    toks = _seg_tokens(text_col)
+    grams = (
+        docs.select(F.col(id_col), toks.alias("__toks"))
+        .filter(F.size("__toks") >= n)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.lit(0), F.size("__toks") - n)
+            ).alias("pos"),
+            F.col("__toks"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("pos").cast("int").alias("pos"),
+            F.md5(
+                F.concat_ws(
+                    " ", F.slice("__toks", F.col("pos") + 1, F.lit(n))
+                )
+            ).alias("gram_hash"),
+        )
+    )
+    cross_doc = (
+        grams.groupBy("gram_hash")
+        .agg(F.countDistinct(id_col).alias("__n_docs"))
+        .filter(F.col("__n_docs") > 1)
+        .select("gram_hash")
+    )
+    hits = grams.join(cross_doc, "gram_hash").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    flagged = hits.withColumn(
+        "__brk",
+        F.when(
+            F.col("pos") - F.lag("pos").over(w) > n, F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn("__island", F.sum("__brk").over(w))
+    return (
+        flagged.groupBy(F.col(id_col), F.col("__island"))
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + n).cast("int").alias("span_end"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start"))
+            .cast("int")
+            .alias("span_words"),
+            "n_grams",
+        )
+    )

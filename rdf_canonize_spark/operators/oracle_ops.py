@@ -1097,3 +1097,210 @@ SELECT tl.doc_id, tl.source,
     AS cleaned_text,
   CAST(tl.n - coalesce(k.n_kept, 0) AS INT) AS n_removed
 FROM tails tl LEFT JOIN kept_agg k ON tl.doc_id = k.doc_id"""
+
+
+def duplicate_spans(n=None):
+    """Mirrors dedup.duplicate_spans over the near-dup corpus:
+    rolling word n-grams at every offset, cross-document grams by
+    md5, gaps-and-islands merge per document.  Same explicit
+    whitespace class as the segment tokenizer; LAG's NULL first row
+    falls to ELSE 0 on both engines; the window SUM island id is
+    group-key-only (HUGEINT on the DuckDB side is invisible to the
+    output schema)."""
+    from .dedup import SPAN_NGRAM
+
+    if n is None:
+        n = SPAN_NGRAM
+    ws = "[" + WS_CHARS + "]+"
+    return f"""WITH {CORPUS_CTE.strip()},
+toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '{ws}') AS t
+  FROM corpus
+),
+grams AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+    md5(array_to_string(
+      t[CAST(i + 1 AS BIGINT):CAST(i + {n} AS BIGINT)], ' ')) AS gram_hash
+  FROM toks, UNNEST(range(len(t) - {n} + 1)) AS u(i)
+  WHERE len(t) >= {n}
+),
+cross_doc AS (
+  SELECT gram_hash FROM grams
+  GROUP BY gram_hash HAVING COUNT(DISTINCT doc_id) > 1
+),
+hits AS (
+  SELECT g.doc_id, g.pos FROM grams g JOIN cross_doc USING (gram_hash)
+),
+flagged AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos - LAG(pos) OVER (
+        PARTITION BY doc_id ORDER BY pos) > {n}
+      THEN 1 ELSE 0 END AS brk
+  FROM hits
+),
+islands AS (
+  SELECT doc_id, pos,
+    SUM(brk) OVER (
+      PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+)
+SELECT doc_id,
+  CAST(MIN(pos) AS INT) AS span_start,
+  CAST(MAX(pos) + {n} AS INT) AS span_end,
+  CAST(MAX(pos) + {n} - MIN(pos) AS INT) AS span_words,
+  COUNT(*) AS n_grams
+FROM islands
+GROUP BY doc_id, island"""
+
+
+_URL_CORPUS_CTE = """
+ub AS (
+  SELECT doc_id,
+    CAST(floor(doc_id / 7) AS BIGINT) AS block,
+    CAST(CAST(floor(doc_id / 7) AS BIGINT) % 3 AS VARCHAR) AS pg
+  FROM documents
+),
+urls AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'HTTPS://' END)
+    || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+    || 'site' || CAST(block % 20 AS VARCHAR)
+    || (CASE WHEN doc_id % 4 = 0 THEN '.Example.COM'
+             ELSE '.example.com' END)
+    || (CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END)
+    || '/articles/' || CAST(block AS VARCHAR)
+    || (CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END)
+    || (CASE WHEN doc_id % 4 = 0
+             THEN '?utm_source=feed&ref=rss&page=' || pg
+             WHEN doc_id % 4 = 1 THEN '?page=' || pg || '&sort=new'
+             WHEN doc_id % 4 = 2 THEN '?sort=new&page=' || pg
+             ELSE '?page=' || pg END)
+    || (CASE WHEN doc_id % 6 = 0
+             THEN '#section-' || CAST(doc_id AS VARCHAR) ELSE '' END)
+    AS url
+  FROM ub
+)"""
+
+# Canonicalization twin of urls._canonical_expr.  Anchored regexes
+# only: Spark regexp_replace replaces every match, DuckDB the first;
+# anchoring makes them identical.  The param-filter predicate text
+# matches the Spark SQL lambda body.
+_URL_CANON_CTE = r"""
+c1 AS (
+  SELECT doc_id, url,
+    regexp_replace(regexp_replace(url, '#.*$', ''),
+                   '^[a-zA-Z][a-zA-Z0-9+.-]*://', '') AS rest
+  FROM urls
+),
+c2 AS (
+  SELECT doc_id, url, rest,
+    regexp_extract(rest, '^[^/?]*') AS auth,
+    substr(rest, length(regexp_extract(rest, '^[^/?]*')) + 1) AS pathq
+  FROM c1
+),
+c3 AS (
+  SELECT doc_id, url, pathq,
+    regexp_replace(regexp_replace(regexp_replace(
+      lower(auth), '^[^@]*@', ''), ':[0-9]*$', ''), '^www\.', '')
+      AS host,
+    regexp_extract(pathq, '^[^?]*') AS path
+  FROM c2
+),
+c4 AS (
+  SELECT doc_id, url, host,
+    CASE WHEN regexp_replace(path, '/+$', '') = '' THEN '/'
+         ELSE regexp_replace(path, '/+$', '') END AS path_c,
+    CASE WHEN length(pathq) > length(path)
+         THEN substr(pathq, length(path) + 2) ELSE '' END AS q
+  FROM c3
+),
+c5 AS (
+  SELECT doc_id, url, path_c,
+    list_sort(list_filter(string_split(q, '&'),
+      p -> p <> '' AND NOT (p LIKE 'utm_%'
+        OR split_part(p, '=', 1) IN
+           ('fbclid', 'gclid', 'msclkid', 'ref')))) AS kept,
+    array_to_string(list_reverse(string_split(host, '.')), ',')
+      AS surt
+  FROM c4
+),
+canon AS (
+  SELECT doc_id, url,
+    surt || ')' || path_c
+    || (CASE WHEN len(kept) > 0
+             THEN '?' || array_to_string(kept, '&') ELSE '' END)
+      AS canonical_url
+  FROM c5
+)"""
+
+
+def url_canonicalize():
+    """Mirrors urls.canonical_urls over the synthetic crawl corpus."""
+    return f"""WITH {_URL_CORPUS_CTE.strip()},{_URL_CANON_CTE}
+SELECT doc_id, url, canonical_url FROM canon"""
+
+
+def url_dedup():
+    """Mirrors urls.url_dedup: canonical-key groups fetched > once."""
+    return f"""WITH {_URL_CORPUS_CTE.strip()},{_URL_CANON_CTE}
+SELECT canonical_url, COUNT(*) AS n_fetches,
+       MIN(url) AS keeper_url
+FROM canon GROUP BY canonical_url HAVING COUNT(*) > 1"""
+
+
+def dsir_weights(n_buckets=64, hexd=4, target="lang = 'en'"):
+    """Mirrors sampling.dsir_weights: identical tokenizer
+    (regexp_extract_all over the shared TOKEN_PATTERN, lowercased),
+    identical md5-hex bucket arithmetic (strpos digit sum == Spark
+    conv, CLAUDE.md recipe), identical add-one-smoothed ratio with
+    every operand cast to DOUBLE in the same order, and the
+    entity_pagerank integerization: floor(1e6 * ln(ratio)) as BIGINT
+    per bucket BEFORE the per-document sum, so the doc scores are
+    integer-exact.  DuckDB HUGEINT sums cast back to BIGINT; the
+    smoothing constant interpolated via Python repr so it is DOUBLE,
+    not DECIMAL."""
+    digit = "(strpos('0123456789abcdef', substr(h4, {i}, 1)) - 1)"
+    val = " + ".join(
+        f"{digit.format(i=i + 1)} * {16 ** (hexd - 1 - i)}"
+        for i in range(hexd)
+    )
+    b = float(n_buckets)
+    return f"""WITH tb AS MATERIALIZED (
+  SELECT doc_id, ({target}) AS is_target,
+    substr(md5(tok), 1, {hexd}) AS h4
+  FROM (
+    SELECT doc_id, lang,
+      unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS tok
+    FROM documents
+  )
+),
+db AS MATERIALIZED (
+  SELECT doc_id, is_target, CAST(({val}) % {n_buckets} AS INT) AS bucket,
+    COUNT(*) AS cnt
+  FROM tb GROUP BY doc_id, is_target, CAST(({val}) % {n_buckets} AS INT)
+),
+raw AS (SELECT bucket, SUM(cnt) AS r_cnt FROM db GROUP BY bucket),
+tgt AS (SELECT bucket, SUM(cnt) AS t_cnt FROM db
+        WHERE is_target GROUP BY bucket),
+tot AS (
+  SELECT SUM(CASE WHEN is_target THEN cnt ELSE 0 END) AS tt,
+         SUM(cnt) AS rr
+  FROM db
+),
+lut AS (
+  SELECT raw.bucket,
+    CAST(floor(ln(
+      (CAST(COALESCE(tgt.t_cnt, 0) + 1 AS DOUBLE)
+         / (CAST(tot.tt AS DOUBLE) + CAST({b!r} AS DOUBLE)))
+      / (CAST(raw.r_cnt + 1 AS DOUBLE)
+         / (CAST(tot.rr AS DOUBLE) + CAST({b!r} AS DOUBLE)))
+    ) * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS lr_micro
+  FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket, tot
+)
+SELECT db.doc_id,
+  CAST(SUM(db.cnt * lut.lr_micro) AS BIGINT) AS logw_micro,
+  CAST(SUM(db.cnt) AS BIGINT) AS n_tokens,
+  SUM(db.cnt * lut.lr_micro) > 0 AS keep
+FROM db JOIN lut ON db.bucket = lut.bucket
+GROUP BY db.doc_id"""

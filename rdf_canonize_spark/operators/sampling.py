@@ -126,3 +126,105 @@ def pack_sequences(docs, budget=512, shards=8, tokens_col=None):
         F.pmod(cum - F.col("n_tokens"), F.lit(budget))
         .cast("int").alias("seq_offset"),
     )
+
+
+# --- DSIR-style importance weighting -----------------------------------------
+DSIR_BUCKETS = 64
+DSIR_HEX_DIGITS = 4  # 16 bits of md5 -> bucket id
+
+
+def dsir_weights(docs, target_predicate="lang = 'en'",
+                 n_buckets=DSIR_BUCKETS):
+    """Data Selection via Importance Resampling (Xie et al. 2023),
+    hashed bag-of-tokens form: score every document by how much more
+    likely its tokens are under a TARGET distribution than under the
+    raw-corpus distribution.  Features are md5-hashed lowercase
+    tokens (the textstats BPE-ish tokenizer) in ``n_buckets``
+    buckets; both distributions are add-one-smoothed bucket
+    frequencies; the per-document weight is the sum of per-token
+    log-likelihood ratios.
+
+    Output ``(doc_id, logw_micro, n_tokens, keep)``: the weight is
+    integerized to micro-nats PER BUCKET (``floor(1e6 * ln(ratio))``
+    as BIGINT) before the per-document sum, so everything after the
+    single ``ln`` is integer-exact across engines -- the
+    entity_pagerank integerization recipe.  ``keep`` flags documents
+    that look more target-like than raw (positive weight).
+
+    Scale shape: token explode (narrow, the shingle-pass
+    amplification) -> one (doc, bucket) groupBy (uniform keys,
+    map-side combinable) -> the target/raw bucket tables and the
+    1-row totals reduce from THAT aggregate (n_buckets rows, not the
+    corpus) -> a broadcast lookup join + one per-doc groupBy.  The
+    per-doc sum is bounded by doc_tokens * max|lr| ~ 1e13 -- no
+    overflow under ANSI long arithmetic."""
+    from .textstats import TOKEN_PATTERN
+
+    toks = docs.select(
+        "doc_id",
+        F.expr(target_predicate).alias("__is_target"),
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(TOKEN_PATTERN), F.lit(0)
+            )
+        ).alias("tok"),
+    )
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("tok")), 1, DSIR_HEX_DIGITS), 16, 10
+        ).cast("long"),
+        F.lit(n_buckets),
+    ).cast("int")
+    doc_bucket = (
+        toks.select("doc_id", "__is_target", bucket.alias("bucket"))
+        .groupBy("doc_id", "__is_target", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    raw = doc_bucket.groupBy("bucket").agg(F.sum("cnt").alias("r_cnt"))
+    tgt = (
+        doc_bucket.filter(F.col("__is_target"))
+        .groupBy("bucket")
+        .agg(F.sum("cnt").alias("t_cnt"))
+    )
+    totals = doc_bucket.agg(
+        F.sum(F.when(F.col("__is_target"), F.col("cnt")).otherwise(0))
+        .alias("__T"),
+        F.sum("cnt").alias("__R"),
+    )
+    b = float(n_buckets)
+    lut = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.floor(
+                F.log(
+                    (
+                        (F.coalesce("t_cnt", F.lit(0)) + 1).cast("double")
+                        / (F.col("__T").cast("double") + F.lit(b))
+                    )
+                    / (
+                        (F.col("r_cnt") + 1).cast("double")
+                        / (F.col("__R").cast("double") + F.lit(b))
+                    )
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("lr_micro"),
+        )
+    )
+    return (
+        doc_bucket.join(F.broadcast(lut), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("cnt") * F.col("lr_micro")).alias("logw_micro"),
+            F.sum("cnt").alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "logw_micro",
+            "n_tokens",
+            (F.col("logw_micro") > 0).alias("keep"),
+        )
+    )

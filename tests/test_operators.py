@@ -1260,3 +1260,127 @@ def test_heavy_hitters_drive_salted_join(spark):
     want = fact.join(dim, "key", "inner")
     norm = lambda rows: sorted(tuple(map(str, r)) for r in rows)
     assert norm(got.collect()) == norm(want.collect())
+
+
+def test_duplicate_spans_planted(spark):
+    """Offset-free exact-substring dedup: a 15-word passage planted
+    mid-document at DIFFERENT word offsets in two documents is found
+    as one merged span per doc with the exact token boundaries; the
+    unique remainder text is not flagged; a doc sharing nothing stays
+    absent.  n=5 keeps the planted case compact."""
+    shared = "the quick brown fox jumps over the lazy dog near the old stone bridge today"
+    assert len(shared.split()) == 15
+    docs = spark.createDataFrame(
+        [
+            # shared passage at offset 3
+            (1, "alpha beta gamma " + shared + " tail one"),
+            # same passage at offset 5
+            (2, "one two three four five " + shared),
+            (3, "completely different words with no overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in dedup.duplicate_spans(docs, n=5).collect()
+    }
+    assert set(rows) == {1, 2}
+    # doc 1: span covers tokens [3, 18); 15-5+1 = 11 grams
+    assert rows[1]["span_start"] == 3
+    assert rows[1]["span_end"] == 18
+    assert rows[1]["span_words"] == 15
+    assert rows[1]["n_grams"] == 11
+    # doc 2: same passage at [5, 20)
+    assert rows[2]["span_start"] == 5
+    assert rows[2]["span_end"] == 20
+    assert rows[2]["n_grams"] == 11
+
+
+def test_duplicate_spans_merges_adjacent_islands(spark):
+    """Gaps-and-islands boundary: duplicated grams at position
+    distance exactly n have ADJACENT coverage ([0,n) + [n,2n)) and
+    merge into one span; at distance n+1 one word between them is
+    unique and they stay two spans.  Both docs carry both passages so
+    every passage gram is cross-document, while the grams spanning
+    the passage boundary are unique to their doc (not duplicated)."""
+    a = "aa bb cc dd ee"  # 5 words, n=5 -> one gram each
+    b = "vv ww xx yy zz"
+    docs = spark.createDataFrame(
+        [
+            (1, a + " " + b),         # dup grams at 0 and 5: merged
+            (2, a + " u1 " + b),      # dup grams at 0 and 6: split
+        ],
+        "doc_id long, text string",
+    )
+    spans = dedup.duplicate_spans(docs, n=5)
+    one = sorted(
+        (r["span_start"], r["span_end"], r["n_grams"])
+        for r in spans.filter(F.col("doc_id") == 1).collect()
+    )
+    assert one == [(0, 10, 2)]
+    two = sorted(
+        (r["span_start"], r["span_end"])
+        for r in spans.filter(F.col("doc_id") == 2).collect()
+    )
+    assert two == [(0, 5), (6, 11)]
+
+
+def test_url_canonicalization_edges(spark):
+    """SURT canonicalization edge cases beyond the synthetic corpus:
+    userinfo stripped, bare :port (no digits) dropped, '' path ->
+    '/', repeated trailing slashes collapsed, all-tracking query
+    dropped entirely, fragment-only URL, param sorting stable."""
+    from rdf_canonize_spark.operators import urls
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://user:pw@Host.Example.com:8080/a/b/?z=1&a=2"),
+            (2, "HTTP://WWW.host.example.COM/a/b?a=2&z=1#frag"),
+            (3, "https://site.org"),
+            (4, "http://site.org///"),
+            (5, "https://site.org/x?utm_source=a&utm_medium=b&fbclid=z"),
+            (6, "http://site.org/x#only-frag"),
+        ],
+        "doc_id long, url string",
+    )
+    got = {
+        r["doc_id"]: r["canonical_url"]
+        for r in urls.canonical_urls(df).collect()
+    }
+    assert got[1] == "com,example,host)/a/b?a=2&z=1"
+    assert got[2] == "com,example,host)/a/b?a=2&z=1"
+    assert got[3] == "org,site)/"
+    assert got[4] == "org,site)/"
+    assert got[5] == "org,site)/x"
+    assert got[6] == "org,site)/x"
+
+
+def test_dsir_weights_separate_target_like_docs(spark):
+    """DSIR importance weights: a document written in the TARGET
+    vocabulary scores positive (more likely under the target
+    distribution) even when its own label is non-target, and beats
+    every document written in the raw-only vocabulary; weights are
+    integers (micro-nats) and n_tokens matches the tokenizer."""
+    from rdf_canonize_spark.operators import sampling
+
+    rows = (
+        [(i, "en", "red green blue crimson teal") for i in range(5)]
+        + [(10 + i, "de", "rot gruen blau purpur petrol")
+           for i in range(5)]
+        # target-vocabulary doc labeled de: should look target-like
+        + [(20, "de", "red green blue crimson teal")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r["doc_id"]: r for r in sampling.dsir_weights(docs).collect()}
+    assert len(got) == 11
+    assert all(r["n_tokens"] == 5 for r in got.values())
+    # en-vocab docs (including the mislabeled one) score positive...
+    for d in list(range(5)) + [20]:
+        assert got[d]["logw_micro"] > 0 and got[d]["keep"]
+    # ...raw-only-vocab docs score negative
+    for d in range(10, 15):
+        assert got[d]["logw_micro"] < 0 and not got[d]["keep"]
+    # and the weight ordering separates the two vocabularies strictly
+    assert min(got[d]["logw_micro"] for d in [0, 20]) > max(
+        got[d]["logw_micro"] for d in range(10, 15)
+    )
