@@ -689,6 +689,24 @@ def q_duplicate_spans(spark, sf_dir):
     return dedup.duplicate_spans(dedup.near_dup_corpus(spark, sf_dir))
 
 
+def q_duplicate_span_stats(spark, sf_dir):
+    """Per-doc duplicated-text profile (coverage fraction, span
+    count, longest span) -- the doc-level filter signal over the
+    exact-substring span table."""
+    return dedup.duplicate_span_stats(
+        dedup.near_dup_corpus(spark, sf_dir)
+    )
+
+
+def q_remove_duplicate_spans(spark, sf_dir):
+    """Span-level cleaning: drop every token covered by a
+    cross-document duplicate span, rebuild whitespace-normalized
+    text (drop-all-occurrences policy)."""
+    return dedup.remove_duplicate_spans(
+        dedup.near_dup_corpus(spark, sf_dir)
+    )
+
+
 def _boiler_corpus(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -937,6 +955,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,  # new in round 5
         "url_dedup": q_url_dedup,  # new in round 5
         "docs_dsir_weights": q_dsir_weights,  # new in round 5
+        "dedup_span_stats": q_duplicate_span_stats,  # new in round 5
+        "dedup_remove_spans": q_remove_duplicate_spans,  # new in round 5
         "dedup_exact": q_dedup_exact,
         "paragraph_dedup": q_paragraph_dedup,
         "boilerplate_segments": q_boilerplate_segments,
@@ -1003,6 +1023,8 @@ def oracle_sql() -> dict[str, str]:
         "url_canonicalize": oracle_ops.url_canonicalize(),
         "url_dedup": oracle_ops.url_dedup(),
         "docs_dsir_weights": oracle_ops.dsir_weights(),
+        "dedup_span_stats": oracle_ops.duplicate_span_stats(),
+        "dedup_remove_spans": oracle_ops.remove_duplicate_spans(),
         "paragraph_dedup": oracle_ops.paragraph_dedup(),
         "boilerplate_segments": oracle_ops.boilerplate_segments(),
         "remove_boilerplate": oracle_ops.remove_boilerplate(),

@@ -602,3 +602,94 @@ def duplicate_spans(docs, n=SPAN_NGRAM, id_col="doc_id",
             "n_grams",
         )
     )
+
+
+def duplicate_span_stats(docs, spans_df=None, n=SPAN_NGRAM,
+                         id_col="doc_id", text_col="text"):
+    """Per-document duplicated-text profile from the span table:
+    words covered by cross-document spans, span count, longest span,
+    and the duplicated-word fraction -- the filter signal
+    (drop/down-weight docs above a dup-fraction threshold).  One
+    groupBy over the (already small) span table + one join back to
+    the corpus keyed on the uniform doc id."""
+    spans = spans_df if spans_df is not None else duplicate_spans(
+        docs, n, id_col=id_col, text_col=text_col
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.sum("span_words").alias("dup_words"),
+        F.count(F.lit(1)).alias("n_spans"),
+        F.max("span_words").alias("max_span_words"),
+    )
+    toks = _seg_tokens(text_col)
+    base = docs.select(F.col(id_col), F.size(toks).alias("n_words"))
+    return base.join(per_doc, id_col, "left").select(
+        id_col,
+        "n_words",
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("int")
+        .alias("n_spans"),
+        F.coalesce(F.col("dup_words"), F.lit(0)).cast("int")
+        .alias("dup_words"),
+        F.coalesce(F.col("max_span_words"), F.lit(0)).cast("int")
+        .alias("max_span_words"),
+        F.round(
+            F.coalesce(F.col("dup_words"), F.lit(0)).cast("double")
+            / F.col("n_words"),
+            6,
+        ).alias("dup_word_frac"),
+    )
+
+
+def remove_duplicate_spans(docs, spans_df=None, n=SPAN_NGRAM,
+                           id_col="doc_id", text_col="text"):
+    """Span-level cleaning: rebuild each document with every token
+    covered by a cross-document duplicate span dropped (the
+    drop-all-occurrences policy; keeper-aware policies are a filter
+    on the spans table before passing it in).  Output text is
+    whitespace-normalized, like ``remove_boilerplate``.
+
+    Shape: one posexplode (narrow), one doc-keyed join against the
+    span table with a range predicate (equi on the doc id -- never a
+    cartesian), one groupBy(doc) to reassemble.  The corpus text
+    crosses exactly two doc-keyed shuffles."""
+    spans = spans_df if spans_df is not None else duplicate_spans(
+        docs, n, id_col=id_col, text_col=text_col
+    )
+    toks = _seg_tokens(text_col)
+    base = docs.select(F.col(id_col), toks.alias("__toks"))
+    pos_tok = base.select(
+        F.col(id_col), F.posexplode("__toks")
+    ).withColumnRenamed("pos", "pos").withColumnRenamed("col", "tok")
+    sp = spans.select(
+        F.col(id_col).alias("__sid"), "span_start", "span_end"
+    )
+    kept = pos_tok.join(
+        sp,
+        (F.col(id_col) == F.col("__sid"))
+        & (F.col("pos") >= F.col("span_start"))
+        & (F.col("pos") < F.col("span_end")),
+        "left_anti",
+    )
+    kept_agg = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "tok"))
+                ),
+                lambda s: s["tok"],
+            ),
+        ).alias("__kept_text"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    return (
+        base.select(F.col(id_col), F.size("__toks").alias("__n"))
+        .join(kept_agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("__kept_text"), F.lit(""))
+            .alias("cleaned_text"),
+            (F.col("__n") - F.coalesce(F.col("__n_kept"), F.lit(0)))
+            .cast("int")
+            .alias("n_removed_words"),
+        )
+    )

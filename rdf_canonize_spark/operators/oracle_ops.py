@@ -1099,21 +1099,16 @@ SELECT tl.doc_id, tl.source,
 FROM tails tl LEFT JOIN kept_agg k ON tl.doc_id = k.doc_id"""
 
 
-def duplicate_spans(n=None):
-    """Mirrors dedup.duplicate_spans over the near-dup corpus:
-    rolling word n-grams at every offset, cross-document grams by
-    md5, gaps-and-islands merge per document.  Same explicit
-    whitespace class as the segment tokenizer; LAG's NULL first row
-    falls to ELSE 0 on both engines; the window SUM island id is
-    group-key-only (HUGEINT on the DuckDB side is invisible to the
-    output schema)."""
-    from .dedup import SPAN_NGRAM
-
-    if n is None:
-        n = SPAN_NGRAM
+def _span_ctes(n):
+    """Shared CTE chain for the exact-substring span family over the
+    near-dup corpus: tokenize (explicit whitespace class), rolling
+    n-gram md5 at every offset, cross-document grams, gaps-and-islands
+    merge into ``spans``.  LAG's NULL first row falls to ELSE 0 on
+    both engines; the window SUM island id is group-key-only (HUGEINT
+    on the DuckDB side never reaches an output schema)."""
     ws = "[" + WS_CHARS + "]+"
-    return f"""WITH {CORPUS_CTE.strip()},
-toks AS (
+    return f"""{CORPUS_CTE.strip()},
+toks AS MATERIALIZED (
   SELECT doc_id, string_split_regex(trim(text), '{ws}') AS t
   FROM corpus
 ),
@@ -1144,14 +1139,88 @@ islands AS (
       PARTITION BY doc_id ORDER BY pos
       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
   FROM flagged
+),
+spans AS MATERIALIZED (
+  SELECT doc_id,
+    CAST(MIN(pos) AS INT) AS span_start,
+    CAST(MAX(pos) + {n} AS INT) AS span_end,
+    CAST(MAX(pos) + {n} - MIN(pos) AS INT) AS span_words,
+    COUNT(*) AS n_grams
+  FROM islands
+  GROUP BY doc_id, island
+)"""
+
+
+def duplicate_spans(n=None):
+    """Mirrors dedup.duplicate_spans over the near-dup corpus."""
+    from .dedup import SPAN_NGRAM
+
+    if n is None:
+        n = SPAN_NGRAM
+    return f"""WITH {_span_ctes(n)}
+SELECT doc_id, span_start, span_end, span_words, n_grams FROM spans"""
+
+
+def duplicate_span_stats(n=None):
+    """Mirrors dedup.duplicate_span_stats: per-doc dup-word coverage
+    over the span table, LEFT-joined so span-free docs report zeros;
+    n_words from the same tokenizer (split of '' is [''] -> size >= 1,
+    no divide-by-zero on either engine)."""
+    from .dedup import SPAN_NGRAM
+
+    if n is None:
+        n = SPAN_NGRAM
+    return f"""WITH {_span_ctes(n)},
+per_doc AS (
+  SELECT doc_id,
+    SUM(span_words) AS dup_words,
+    COUNT(*) AS n_spans,
+    MAX(span_words) AS max_span_words
+  FROM spans GROUP BY doc_id
 )
-SELECT doc_id,
-  CAST(MIN(pos) AS INT) AS span_start,
-  CAST(MAX(pos) + {n} AS INT) AS span_end,
-  CAST(MAX(pos) + {n} - MIN(pos) AS INT) AS span_words,
-  COUNT(*) AS n_grams
-FROM islands
-GROUP BY doc_id, island"""
+SELECT t.doc_id,
+  CAST(len(t.t) AS INT) AS n_words,
+  CAST(COALESCE(p.n_spans, 0) AS INT) AS n_spans,
+  CAST(COALESCE(p.dup_words, 0) AS INT) AS dup_words,
+  CAST(COALESCE(p.max_span_words, 0) AS INT) AS max_span_words,
+  round(CAST(COALESCE(p.dup_words, 0) AS DOUBLE)
+        / CAST(len(t.t) AS DOUBLE), 6) AS dup_word_frac
+FROM toks t LEFT JOIN per_doc p USING (doc_id)"""
+
+
+def remove_duplicate_spans(n=None):
+    """Mirrors dedup.remove_duplicate_spans: every token position
+    covered by a span dropped, document rebuilt in position order
+    (string_agg ORDER BY == Spark array_sort-of-struct order),
+    whitespace-normalized."""
+    from .dedup import SPAN_NGRAM
+
+    if n is None:
+        n = SPAN_NGRAM
+    return f"""WITH {_span_ctes(n)},
+tokpos AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS pos, t[CAST(i AS BIGINT)] AS tok
+  FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)
+),
+kept AS (
+  SELECT tp.doc_id, tp.pos, tp.tok
+  FROM tokpos tp
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = tp.doc_id
+      AND tp.pos >= s.span_start AND tp.pos < s.span_end
+  )
+),
+kept_agg AS (
+  SELECT doc_id,
+    string_agg(tok, ' ' ORDER BY pos) AS kept_text,
+    COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+  COALESCE(k.kept_text, '') AS cleaned_text,
+  CAST(len(t.t) - COALESCE(k.n_kept, 0) AS INT) AS n_removed_words
+FROM toks t LEFT JOIN kept_agg k USING (doc_id)"""
 
 
 _URL_CORPUS_CTE = """

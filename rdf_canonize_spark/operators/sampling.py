@@ -175,10 +175,14 @@ def dsir_weights(docs, target_predicate="lang = 'en'",
         ).cast("long"),
         F.lit(n_buckets),
     ).cast("int")
+    # doc_bucket feeds FOUR branches (raw, target, totals, the final
+    # score join): localCheckpoint (eager) so the token explode +
+    # groupBy runs once, not per branch (CLAUDE.md multi-branch rule)
     doc_bucket = (
         toks.select("doc_id", "__is_target", bucket.alias("bucket"))
         .groupBy("doc_id", "__is_target", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
     )
     raw = doc_bucket.groupBy("bucket").agg(F.sum("cnt").alias("r_cnt"))
     tgt = (

@@ -1384,3 +1384,38 @@ def test_dsir_weights_separate_target_like_docs(spark):
     assert min(got[d]["logw_micro"] for d in [0, 20]) > max(
         got[d]["logw_micro"] for d in range(10, 15)
     )
+
+
+def test_remove_duplicate_spans_planted(spark):
+    """Span cleaning drops exactly the duplicated passage from both
+    carriers (drop-all-occurrences), keeps unique text on either
+    side, and reports stats consistently; a span-free doc passes
+    through whitespace-normalized with zero removals."""
+    shared = "one two three four five six seven"  # 7 words, n=5
+    docs = spark.createDataFrame(
+        [
+            (1, "pre1 pre2 " + shared + " post1"),
+            (2, shared + " tail1 tail2"),
+            (3, "no  duplicated   content here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = dedup.duplicate_spans(docs, n=5)
+    cleaned = {
+        r["doc_id"]: r
+        for r in dedup.remove_duplicate_spans(docs, spans).collect()
+    }
+    assert cleaned[1]["cleaned_text"] == "pre1 pre2 post1"
+    assert cleaned[1]["n_removed_words"] == 7
+    assert cleaned[2]["cleaned_text"] == "tail1 tail2"
+    assert cleaned[2]["n_removed_words"] == 7
+    assert cleaned[3]["cleaned_text"] == "no duplicated content here at all"
+    assert cleaned[3]["n_removed_words"] == 0
+    stats = {
+        r["doc_id"]: r
+        for r in dedup.duplicate_span_stats(docs, spans).collect()
+    }
+    assert stats[1]["dup_words"] == 7 and stats[1]["n_spans"] == 1
+    assert stats[1]["n_words"] == 10
+    assert abs(stats[1]["dup_word_frac"] - 0.7) < 1e-9
+    assert stats[3]["dup_words"] == 0 and stats[3]["dup_word_frac"] == 0.0

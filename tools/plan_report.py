@@ -45,6 +45,11 @@ NLJ_OK = {
     # 1-row broadcast build side (the global total from the sketch
     # pass) attached to the candidate counts; O(n), no amplification
     "word_heavy_hitters": "single-row broadcast total attach",
+    # 1-row broadcast build side (the corpus token totals) attached
+    # to the <=64-row bucket lookup table; O(buckets), no
+    # amplification -- the corpus itself never crosses the BNLJ
+    "docs_dsir_weights": "single-row broadcast totals attach "
+                         "(bucket LUT side, <= n_buckets rows)",
 }
 
 # Unpartitioned (single-task) Window operators that are BY DESIGN,

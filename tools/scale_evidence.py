@@ -1,0 +1,119 @@
+"""Two-cluster-size scaling evidence over a (derived) larger corpus.
+
+North rule: throughput scaling efficiency >= 0.8 from N to 4N
+executors.  No real cluster exists in the sandbox, so the same jobs
+run at local[N] and local[4N] on the same input and the efficiency is
+tput_4N / (4 * tput_N) -- the same protocol bench.py uses at sf0.1,
+here pointed at the 10x derived corpus from gen_scaled_corpus.py to
+show the plans and the scaling hold one decade up.
+
+Jobs measured end-to-end (noop sink, nothing collected):
+* canonize  -- the flagship per-url RDFC-1.0 pipeline
+* minhash   -- MinHash signatures over the near-dup corpus
+* spans     -- exact-substring duplicate spans (round-5 op)
+* dsir      -- DSIR importance weights (round-5 op)
+
+Usage: python3 tools/scale_evidence.py [sf_dir] [n_small] [n_big]
+Defaults: /tmp/sfx1 8 32.  Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _session(cores):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(f"scale-evidence-{cores}")
+        .config("spark.sql.shuffle.partitions", str(max(32, cores)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "24g")
+        .getOrCreate()
+    )
+
+
+def _force(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _jobs(spark, sf_dir):
+    from rdf_canonize_spark.operators import dedup, sampling
+    from rdf_canonize_spark.pipeline.canon_stage import canonize_documents
+    from rdf_canonize_spark.pipeline.link import build_quads, gazetteer_df
+    from rdf_canonize_spark.pipeline.pages import pages_from_documents
+
+    def canonize():
+        pages = pages_from_documents(spark, sf_dir)
+        return canonize_documents(
+            build_quads(pages, gazetteer_df(spark)), max_work_factor=3
+        )
+
+    def minhash():
+        return dedup.minhash_signatures(dedup.near_dup_corpus(spark, sf_dir))
+
+    def spans():
+        return dedup.duplicate_spans(dedup.near_dup_corpus(spark, sf_dir))
+
+    def dsir():
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "lang", "text"
+        )
+        return sampling.dsir_weights(docs)
+
+    return {"canonize": canonize, "minhash": minhash,
+            "spans": spans, "dsir": dsir}
+
+
+def run_at(cores, sf_dir):
+    spark = _session(cores)
+    out = {}
+    try:
+        jobs = _jobs(spark, sf_dir)
+        n_docs = spark.read.parquet(
+            f"{sf_dir}/documents.parquet"
+        ).count()
+        for name, mk in jobs.items():
+            _force(mk())  # warm (JIT + page cache); best-of-2 policy
+            t0 = time.monotonic()
+            _force(mk())
+            out[name] = round(time.monotonic() - t0, 3)
+        out["n_docs"] = n_docs
+    finally:
+        spark.stop()
+    return out
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfx1"
+    n_small = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    n_big = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    small = run_at(n_small, sf_dir)
+    big = run_at(n_big, sf_dir)
+    ratio = n_big / n_small
+    eff = {
+        k: round(small[k] / (ratio * big[k]), 3)
+        for k in small
+        if k != "n_docs" and big.get(k)
+    }
+    print(json.dumps({
+        "sf_dir": sf_dir,
+        "n_docs": small["n_docs"],
+        "cores_small": n_small,
+        "cores_big": n_big,
+        "wall_small": {k: v for k, v in small.items() if k != "n_docs"},
+        "wall_big": {k: v for k, v in big.items() if k != "n_docs"},
+        "efficiency_small_to_big": eff,
+    }))
+
+
+if __name__ == "__main__":
+    main()
