@@ -662,6 +662,29 @@ def q_dsir_weights(spark, sf_dir):
     return sampling.dsir_weights(docs)
 
 
+def q_quality_gate(spark, sf_dir):
+    """The composed C4/Gopher-style filter ladder: one keep/drop
+    verdict + first-failing-rule reason per document
+    (operators/gate.py)."""
+    from rdf_canonize_spark.operators import gate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    return gate.quality_gate(docs)
+
+
+def q_gate_histogram(spark, sf_dir):
+    """Reject-reason histogram over the gate output -- the pipeline
+    tuning artifact."""
+    from rdf_canonize_spark.operators import gate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    return gate.gate_histogram(gate.quality_gate(docs))
+
+
 def q_url_canonicalize(spark, sf_dir):
     """SURT-form URL canonicalization over a synthetic recrawl corpus:
     scheme/www/port/fragment/tracking-param/query-order folding as a
@@ -957,6 +980,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dsir_weights": q_dsir_weights,  # new in round 5
         "dedup_span_stats": q_duplicate_span_stats,  # new in round 5
         "dedup_remove_spans": q_remove_duplicate_spans,  # new in round 5
+        "docs_quality_gate": q_quality_gate,  # new in round 5
+        "docs_gate_histogram": q_gate_histogram,  # new in round 5
         "dedup_exact": q_dedup_exact,
         "paragraph_dedup": q_paragraph_dedup,
         "boilerplate_segments": q_boilerplate_segments,
@@ -1025,6 +1050,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_dsir_weights": oracle_ops.dsir_weights(),
         "dedup_span_stats": oracle_ops.duplicate_span_stats(),
         "dedup_remove_spans": oracle_ops.remove_duplicate_spans(),
+        "docs_quality_gate": oracle_ops.quality_gate(),
+        "docs_gate_histogram": oracle_ops.gate_histogram(),
         "paragraph_dedup": oracle_ops.paragraph_dedup(),
         "boilerplate_segments": oracle_ops.boilerplate_segments(),
         "remove_boilerplate": oracle_ops.remove_boilerplate(),

@@ -1099,18 +1099,21 @@ SELECT tl.doc_id, tl.source,
 FROM tails tl LEFT JOIN kept_agg k ON tl.doc_id = k.doc_id"""
 
 
-def _span_ctes(n):
-    """Shared CTE chain for the exact-substring span family over the
-    near-dup corpus: tokenize (explicit whitespace class), rolling
-    n-gram md5 at every offset, cross-document grams, gaps-and-islands
-    merge into ``spans``.  LAG's NULL first row falls to ELSE 0 on
-    both engines; the window SUM island id is group-key-only (HUGEINT
-    on the DuckDB side never reaches an output schema)."""
+def _span_ctes(n, src="corpus"):
+    """Shared CTE chain for the exact-substring span family: tokenize
+    (explicit whitespace class), rolling n-gram md5 at every offset,
+    cross-document grams, gaps-and-islands merge into ``spans``.
+    ``src='corpus'`` prepends the near-dup corpus CTE (the contract
+    queries); any other table name (e.g. ``documents``) scans it
+    directly (the quality-gate composition).  LAG's NULL first row
+    falls to ELSE 0 on both engines; the window SUM island id is
+    group-key-only (HUGEINT on the DuckDB side never reaches an
+    output schema)."""
     ws = "[" + WS_CHARS + "]+"
-    return f"""{CORPUS_CTE.strip()},
-toks AS MATERIALIZED (
+    prefix = CORPUS_CTE.strip() + ",\n" if src == "corpus" else ""
+    return f"""{prefix}toks AS MATERIALIZED (
   SELECT doc_id, string_split_regex(trim(text), '{ws}') AS t
-  FROM corpus
+  FROM {src}
 ),
 grams AS (
   SELECT doc_id, CAST(i AS INT) AS pos,
@@ -1373,3 +1376,64 @@ SELECT db.doc_id,
   SUM(db.cnt * lut.lr_micro) > 0 AS keep
 FROM db JOIN lut ON db.bucket = lut.bucket
 GROUP BY db.doc_id"""
+
+
+def quality_gate(min_words=25, max_words=100000, min_quality=0.5,
+                 max_dup_frac=0.3):
+    """Mirrors gate.quality_gate: the composed filter ladder.  Each
+    signal is the EXISTING oracle query embedded as a nested-WITH
+    subquery (DuckDB supports CTEs inside subqueries), so the gate
+    oracle inherits every parity recipe those queries already carry;
+    thresholds compare on the rounded columns with repr-interpolated
+    DOUBLE literals; the CASE order is gate.GATE_RULES."""
+    from .dedup import SPAN_NGRAM
+
+    span_stats_docs = f"""WITH {_span_ctes(SPAN_NGRAM, src='documents')},
+per_doc AS (
+  SELECT doc_id, SUM(span_words) AS dup_words
+  FROM spans GROUP BY doc_id
+)
+SELECT t.doc_id,
+  round(CAST(COALESCE(p.dup_words, 0) AS DOUBLE)
+        / CAST(len(t.t) AS DOUBLE), 6) AS dup_word_frac
+FROM toks t LEFT JOIN per_doc p USING (doc_id)"""
+    return f"""WITH
+q AS (SELECT doc_id, n_words, quality FROM ({quality_score()}) t),
+l AS (SELECT doc_id, lang_pred FROM ({lang_id()}) t),
+r AS (SELECT doc_id, is_repetitive FROM ({repetition_stats()}) t),
+d AS (SELECT doc_id, dup_word_frac FROM ({span_stats_docs}) t),
+base AS (
+  SELECT doc.doc_id, doc.lang, q.n_words, q.quality, l.lang_pred,
+         r.is_repetitive, d.dup_word_frac
+  FROM documents doc
+  JOIN q USING (doc_id) JOIN l USING (doc_id)
+  JOIN r USING (doc_id) JOIN d USING (doc_id)
+),
+scored AS (
+  SELECT *,
+    CASE
+      WHEN n_words < {min_words} OR n_words > {max_words}
+        THEN 'length'
+      WHEN lang_pred <> lang THEN 'language'
+      WHEN quality < CAST({float(min_quality)!r} AS DOUBLE)
+        THEN 'quality'
+      WHEN is_repetitive THEN 'repetition'
+      WHEN dup_word_frac > CAST({float(max_dup_frac)!r} AS DOUBLE)
+        THEN 'duplication'
+      ELSE NULL
+    END AS reject_reason
+  FROM base
+)
+SELECT doc_id, n_words, lang, lang_pred, quality, is_repetitive,
+  dup_word_frac,
+  reject_reason IS NULL AS keep,
+  reject_reason
+FROM scored"""
+
+
+def gate_histogram(**kw):
+    """Mirrors gate.gate_histogram over the gate output."""
+    return f"""WITH g AS ({quality_gate(**kw)})
+SELECT COALESCE(reject_reason, 'kept') AS outcome,
+       COUNT(*) AS n_docs
+FROM g GROUP BY COALESCE(reject_reason, 'kept')"""

@@ -1419,3 +1419,47 @@ def test_remove_duplicate_spans_planted(spark):
     assert stats[1]["n_words"] == 10
     assert abs(stats[1]["dup_word_frac"] - 0.7) < 1e-9
     assert stats[3]["dup_words"] == 0 and stats[3]["dup_word_frac"] == 0.0
+
+
+def test_quality_gate_rules_and_order(spark):
+    """Each ladder rule fires on its planted document, the first
+    failing rule names the reason, and a clean document passes.
+    Duplication is cross-document (both carriers rejected)."""
+    from rdf_canonize_spark.operators import gate
+
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "the small bird sings in the tall tree while the old man "
+            "walks along the quiet river bank at dawn")  # stop-rich
+    shared = ("the ancient library holds many rare books and the "
+              "scholars of the city gather there to study them")  # 18w
+    rows = [
+        (1, "en", good),
+        (2, "en", "too short to pass the length gate here"),  # 8 words
+        # english text, claimed de -> language (distinct words from
+        # doc 1 so the cross-document duplication rule stays quiet)
+        (3, "de", ("the bright red kite floats over the green hill "
+                   "and the children watch it from the warm sand as "
+                   "the waves roll in slowly from the deep blue sea")),
+        (4, "en", " ".join(f"xx{i}," for i in range(30))),  # quality
+        (5, "en", "the cat sat on the mat and then " * 8),  # repetition
+        (6, "en", shared + " with one extra closing phrase added for "
+                  "the patient reader standing near the door"),
+        (7, "en", shared + " and a different unique ending that "
+                  "wanders toward the garden past the old gate"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r["doc_id"]: r for r in gate.quality_gate(docs).collect()}
+    assert got[1]["keep"] and got[1]["reject_reason"] is None
+    assert got[2]["reject_reason"] == "length"
+    assert got[3]["reject_reason"] == "language"
+    assert got[4]["reject_reason"] == "quality"
+    assert got[5]["reject_reason"] == "repetition"
+    for d in (6, 7):
+        assert got[d]["reject_reason"] == "duplication", got[d]
+        assert got[d]["dup_word_frac"] > 0.3
+    hist = {
+        r["outcome"]: r["n_docs"]
+        for r in gate.gate_histogram(gate.quality_gate(docs)).collect()
+    }
+    assert hist == {"kept": 1, "length": 1, "language": 1,
+                    "quality": 1, "repetition": 1, "duplication": 2}
