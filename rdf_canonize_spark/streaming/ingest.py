@@ -346,3 +346,34 @@ def start_fetch_join_stream(spark, pages_dir, fetch_dir, out_dir,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_url_dedup_stream(spark, in_dir, out_dir, watermark="1 hour"):
+    """Streaming CANONICAL-URL ingest dedup: the crawl-frontier use of
+    ``operators/urls.py`` -- a page re-fetched under a cosmetically
+    different URL (scheme/www/port/fragment/tracking-param/query-order
+    variants) is dropped at ingest as long as the duplicate arrives
+    within the watermark delay.  ``canonical_urls`` is a pure Catalyst
+    projection, so it composes with
+    ``dropDuplicatesWithinWatermark`` unchanged; state is keyed by the
+    canonical form and expires with the watermark (bounded by the
+    delay window, not the stream length)."""
+    from ..operators.urls import canonical_urls
+
+    pages = stream_pages(spark, in_dir)
+    deduped = (
+        canonical_urls(pages)
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["canonical_url"])
+    )
+    return (
+        deduped.writeStream.format("parquet")
+        .option("path", os.path.join(out_dir, "url_deduped"))
+        .option(
+            "checkpointLocation",
+            os.path.join(out_dir, "_url_dedup_checkpoint"),
+        )
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -347,3 +347,42 @@ def test_asof_join_randomized_vs_bruteforce(spark):
             want = (best_date,
                     max(p for ts, p in cands if ts == best_date))
         assert got[eid] == want, (eid, got[eid], want)
+
+
+def test_streaming_url_dedup_canonical_variants(spark, tmp_path):
+    """Streaming canonical-URL ingest dedup: cosmetic URL variants of
+    the same page (scheme case, www., :80, tracking params, query
+    order, fragment) collapse to one surviving row per canonical
+    form within the watermark; a genuinely different path survives."""
+    import datetime as dt
+
+    from rdf_canonize_spark.streaming.ingest import start_url_dedup_stream
+
+    in_dir = str(tmp_path / "url_in")
+    out_dir = str(tmp_path / "url_out")
+    t0 = dt.datetime(2026, 8, 17, 12, 0, 0)
+
+    def page(url, sec):
+        return (url, t0 + dt.timedelta(seconds=sec), None,
+                "body text", "en")
+
+    rows = [
+        page("http://WWW.site.example.com:80/a?utm_source=x&page=1", 0),
+        page("https://site.example.com/a?page=1#frag", 10),  # same canon
+        page("HTTPS://site.example.com/a/?page=1", 20),      # same canon
+        page("https://site.example.com/b?page=1", 30),       # different
+    ]
+    spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, html binary, "
+        "text string, lang string",
+    ).coalesce(1).write.parquet(in_dir)
+    q = start_url_dedup_stream(spark, in_dir, out_dir,
+                               watermark="10 minutes")
+    q.awaitTermination(timeout=300)
+    got = spark.read.parquet(f"{out_dir}/url_deduped")
+    canon = sorted(r["canonical_url"] for r in got.collect())
+    assert canon == [
+        "com,example,site)/a?page=1",
+        "com,example,site)/b?page=1",
+    ]

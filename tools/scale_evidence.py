@@ -7,14 +7,22 @@ tput_4N / (4 * tput_N) -- the same protocol bench.py uses at sf0.1,
 here pointed at the 10x derived corpus from gen_scaled_corpus.py to
 show the plans and the scaling hold one decade up.
 
+Parallelism choice (BASELINE.md sandbox caveat): the hypervisor's CPU
+token bucket caps SUSTAINED parallelism at ~21 of 32 cores, so an
+8-vs-32 comparison can never evidence 4x -- bench.py measures 1-vs-4
+for the same reason.  Defaults here are 2 vs 8: both legs sit under
+the cap, and 2 cores keeps the 10x corpus runs tractable.
+
 Jobs measured end-to-end (noop sink, nothing collected):
 * canonize  -- the flagship per-url RDFC-1.0 pipeline
-* minhash   -- MinHash signatures over the near-dup corpus
 * spans     -- exact-substring duplicate spans (round-5 op)
 * dsir      -- DSIR importance weights (round-5 op)
+(minhash over the 10x near-dup corpus is ~100M intermediate rows --
+runnable via SPARK_GRAFT_SCALE_JOBS=minhash,... but not a default
+leg; its shape is already covered at sf0.1 by bench/PLANS.)
 
 Usage: python3 tools/scale_evidence.py [sf_dir] [n_small] [n_big]
-Defaults: /tmp/sfx1 8 32.  Prints one JSON line.
+Defaults: /tmp/sfx1 2 8.  Prints one JSON line.
 """
 
 from __future__ import annotations
@@ -69,8 +77,10 @@ def _jobs(spark, sf_dir):
         )
         return sampling.dsir_weights(docs)
 
-    return {"canonize": canonize, "minhash": minhash,
-            "spans": spans, "dsir": dsir}
+    all_jobs = {"canonize": canonize, "minhash": minhash,
+                "spans": spans, "dsir": dsir}
+    sel = os.environ.get("SPARK_GRAFT_SCALE_JOBS", "canonize,spans,dsir")
+    return {k: all_jobs[k] for k in sel.split(",") if k in all_jobs}
 
 
 def run_at(cores, sf_dir):
@@ -94,8 +104,8 @@ def run_at(cores, sf_dir):
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfx1"
-    n_small = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    n_big = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    n_small = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    n_big = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     small = run_at(n_small, sf_dir)
     big = run_at(n_big, sf_dir)
     ratio = n_big / n_small
