@@ -43,6 +43,15 @@ def _session(cores):
         .appName(f"scale-evidence-{cores}")
         .config("spark.sql.shuffle.partitions", str(max(32, cores)))
         .config("spark.sql.adaptive.enabled", "true")
+        # At toy shuffle sizes AQE coalesces every exchange to 1-2
+        # partitions (64 MB advisory target), serializing the
+        # post-shuffle stages identically on BOTH legs -- scaling
+        # reads as flat even though the plan is fine.  At production
+        # shuffle sizes the advisory target yields >= cores
+        # partitions and coalescing is pure win, so disabling it
+        # HERE (measurement harness only) is the faithful setting.
+        .config("spark.sql.adaptive.coalescePartitions.enabled",
+                "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "24g")
         .getOrCreate()
@@ -106,8 +115,17 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfx1"
     n_small = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     n_big = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    # the same pre-flight idle-wait gate bench.py earned the hard way:
+    # a drained hypervisor token bucket starves the BIG leg only (the
+    # small leg fits under the drained cap), which reads as fake
+    # anti-scaling.  Gate + measure effective cores around the runs.
+    import bench
+
+    pre_cores, pre_waited = bench.wait_for_healthy_bucket()
     small = run_at(n_small, sf_dir)
+    mid_cores = bench.effective_cores_probe()
     big = run_at(n_big, sf_dir)
+    post_cores = bench.effective_cores_probe()
     ratio = n_big / n_small
     eff = {
         k: round(small[k] / (ratio * big[k]), 3)
@@ -122,6 +140,13 @@ def main():
         "wall_small": {k: v for k, v in small.items() if k != "n_docs"},
         "wall_big": {k: v for k, v in big.items() if k != "n_docs"},
         "efficiency_small_to_big": eff,
+        "bucket": {
+            "preflight_cores": pre_cores,
+            "preflight_waited_sec": pre_waited,
+            "cores_between_legs": mid_cores,
+            "cores_after": post_cores,
+            "healthy": post_cores >= max(14.0, float(n_big)),
+        },
     }))
 
 
