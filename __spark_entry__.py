@@ -662,6 +662,30 @@ def q_dsir_weights(spark, sf_dir):
     return sampling.dsir_weights(docs)
 
 
+def q_build_vocab(spark, sf_dir):
+    """Tokenizer-vocabulary construction: top-k corpus tokens with
+    deterministic ties and contiguous ids (textstats.build_vocab)."""
+    from rdf_canonize_spark.operators.textstats import build_vocab
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return build_vocab(docs)
+
+
+def q_oov_stats(spark, sf_dir):
+    """Per-doc OOV rate against the built vocab (broadcast join)."""
+    from rdf_canonize_spark.operators.textstats import (
+        build_vocab,
+        oov_stats,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return oov_stats(docs, build_vocab(docs))
+
+
 def q_quality_gate(spark, sf_dir):
     """The composed C4/Gopher-style filter ladder: one keep/drop
     verdict + first-failing-rule reason per document
@@ -951,9 +975,21 @@ def q_media_frames(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's CORRECTNESS artifact samples
     # a prefix of this registry, so the queries never yet captured in a
-    # driver artifact (judge-verified only through round 3) come FIRST;
-    # the round-3-verified 50 follow in their original order.
+    # driver artifact come FIRST -- the 8 round-5 additions lead, then
+    # the round-4 priority block, then the round-3-verified 50 in
+    # their original order (all 70 prior entries are green in
+    # CORRECTNESS_full_r04.json).
     return {
+        "dedup_duplicate_spans": q_duplicate_spans,  # round 5
+        "dedup_span_stats": q_duplicate_span_stats,  # round 5
+        "dedup_remove_spans": q_remove_duplicate_spans,  # round 5
+        "url_canonicalize": q_url_canonicalize,  # round 5
+        "url_dedup": q_url_dedup,  # round 5
+        "docs_dsir_weights": q_dsir_weights,  # round 5
+        "docs_quality_gate": q_quality_gate,  # round 5
+        "docs_gate_histogram": q_gate_histogram,  # round 5
+        "docs_build_vocab": q_build_vocab,  # round 5
+        "docs_oov_stats": q_oov_stats,  # round 5
         "events_asof_orders": q_events_asof_orders,
         "events_close_pairs": q_events_close_pairs,
         "lineitem_quantiles": q_lineitem_quantiles,
@@ -974,14 +1010,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_trained_topk": q_ann_ivf_trained,  # new in round 4
         "text_repetition": q_text_repetition,  # new in round 4
         "semantic_dedup": q_semantic_dedup,  # new in round 4
-        "dedup_duplicate_spans": q_duplicate_spans,  # new in round 5
-        "url_canonicalize": q_url_canonicalize,  # new in round 5
-        "url_dedup": q_url_dedup,  # new in round 5
-        "docs_dsir_weights": q_dsir_weights,  # new in round 5
-        "dedup_span_stats": q_duplicate_span_stats,  # new in round 5
-        "dedup_remove_spans": q_remove_duplicate_spans,  # new in round 5
-        "docs_quality_gate": q_quality_gate,  # new in round 5
-        "docs_gate_histogram": q_gate_histogram,  # new in round 5
         "dedup_exact": q_dedup_exact,
         "paragraph_dedup": q_paragraph_dedup,
         "boilerplate_segments": q_boilerplate_segments,
@@ -1052,6 +1080,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_remove_spans": oracle_ops.remove_duplicate_spans(),
         "docs_quality_gate": oracle_ops.quality_gate(),
         "docs_gate_histogram": oracle_ops.gate_histogram(),
+        "docs_build_vocab": oracle_ops.build_vocab(),
+        "docs_oov_stats": oracle_ops.oov_stats(),
         "paragraph_dedup": oracle_ops.paragraph_dedup(),
         "boilerplate_segments": oracle_ops.boilerplate_segments(),
         "remove_boilerplate": oracle_ops.remove_boilerplate(),

@@ -1437,3 +1437,57 @@ def gate_histogram(**kw):
 SELECT COALESCE(reject_reason, 'kept') AS outcome,
        COUNT(*) AS n_docs
 FROM g GROUP BY COALESCE(reject_reason, 'kept')"""
+
+
+_VOCAB_CTES = """toks AS MATERIALIZED (
+  SELECT doc_id,
+    unnest(regexp_extract_all(lower(text), '{pat}')) AS token
+  FROM documents
+),
+counts AS (
+  SELECT token, COUNT(*) AS count,
+         COUNT(DISTINCT doc_id) AS doc_freq
+  FROM toks GROUP BY token
+),
+top AS (
+  SELECT token, count, doc_freq FROM counts
+  ORDER BY count DESC, token ASC LIMIT {k}
+)"""
+
+
+def build_vocab(k=256):
+    """Mirrors textstats.build_vocab: shared tokenizer, (count desc,
+    token asc) total order for both the top-k cut and the id
+    assignment -- ties at the boundary resolve identically on both
+    engines."""
+    ctes = _VOCAB_CTES.format(pat=TOKEN_PATTERN, k=k)
+    return f"""WITH {ctes}
+SELECT token,
+  CAST(ROW_NUMBER() OVER (ORDER BY count DESC, token ASC) - 1 AS INT)
+    AS token_id,
+  CAST(count AS BIGINT) AS count,
+  CAST(doc_freq AS BIGINT) AS doc_freq
+FROM top"""
+
+
+def oov_stats(k=256):
+    """Mirrors textstats.oov_stats against the build_vocab table."""
+    ctes = _VOCAB_CTES.format(pat=TOKEN_PATTERN, k=k)
+    return f"""WITH {ctes},
+hit AS (
+  SELECT t.doc_id,
+    CASE WHEN v.token IS NULL THEN 0 ELSE 1 END AS in_vocab
+  FROM toks t LEFT JOIN top v USING (token)
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_tokens, SUM(in_vocab) AS n_in_vocab
+  FROM hit GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+  CAST(COALESCE(a.n_in_vocab, 0) AS BIGINT) AS n_in_vocab,
+  CASE WHEN COALESCE(a.n_tokens, 0) > 0
+       THEN round(CAST(a.n_tokens - a.n_in_vocab AS DOUBLE)
+                  / a.n_tokens, 6)
+       ELSE CAST(0 AS DOUBLE) END AS oov_rate
+FROM documents d LEFT JOIN agg a USING (doc_id)"""

@@ -393,3 +393,87 @@ def redact_pii(docs):
         n_emails.alias("n_emails"),
         n_nums.alias("n_longnums"),
     )
+
+
+# --- tokenizer vocabulary construction ---------------------------------------
+VOCAB_SIZE = 256
+
+
+def build_vocab(docs, k=VOCAB_SIZE):
+    """Tokenizer-vocabulary construction, the pretraining step before
+    any BPE refinement: the top-``k`` corpus tokens by total count
+    (ties broken lexicographically -- deterministic cross-engine),
+    with contiguous ids in that order plus total/document frequencies.
+    Output ``(token, token_id, count, doc_freq)``, ``token_id`` 0-based.
+
+    Scale shape: tokenize (the shared BPE-ish TOKEN_PATTERN,
+    lowercased) -> one uniform-key groupBy -> global top-k.  The
+    top-k is ``orderBy().limit(k)`` -- Catalyst plans it as
+    TakeOrderedAndProject (per-partition heaps + a k-row merge), not
+    a global sort.  The id-assigning window then runs over the
+    ALREADY-LIMITED k-row frame: unpartitioned but bounded by
+    construction (k rows), the same footnoted pattern as
+    init_centroids' pool ranking."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(TOKEN_PATTERN), F.lit(0)
+            )
+        ).alias("token"),
+    )
+    counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("count"),
+        F.countDistinct("doc_id").alias("doc_freq"),
+    )
+    top = counts.orderBy(
+        F.col("count").desc(), F.col("token").asc()
+    ).limit(k)
+    w = Window.orderBy(F.col("count").desc(), F.col("token").asc())
+    return top.select(
+        "token",
+        (F.row_number().over(w) - 1).cast("int").alias("token_id"),
+        "count",
+        "doc_freq",
+    )
+
+
+def oov_stats(docs, vocab):
+    """Per-document out-of-vocabulary profile against a vocab table:
+    total tokens, tokens covered by the vocab, and the OOV rate --
+    the signal for sizing a tokenizer or filtering out-of-domain
+    documents.  The vocab is k rows by construction -> broadcast
+    join; one narrow tokenize + one doc-keyed groupBy."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(TOKEN_PATTERN), F.lit(0)
+            )
+        ).alias("token"),
+    )
+    hit = toks.join(
+        F.broadcast(vocab.select("token", F.lit(1).alias("__in_vocab"))),
+        "token",
+        "left",
+    )
+    agg = hit.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.coalesce("__in_vocab", F.lit(0))).alias("n_in_vocab"),
+    )
+    return docs.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("n_in_vocab", F.lit(0)).alias("n_in_vocab"),
+        F.when(
+            F.coalesce("n_tokens", F.lit(0)) > 0,
+            F.round(
+                (F.coalesce("n_tokens", F.lit(0))
+                 - F.coalesce("n_in_vocab", F.lit(0))).cast("double")
+                / F.coalesce("n_tokens", F.lit(1)),
+                6,
+            ),
+        ).otherwise(F.lit(0.0)).alias("oov_rate"),
+    )

@@ -12,9 +12,20 @@ from __future__ import annotations
 
 import __spark_entry__ as entrymod
 
-# never in a driver CORRECTNESS artifact through round 3 (VERDICT r3
-# item 3), plus the round-4 addition -- kept as the registry prefix
+# never in a driver CORRECTNESS artifact: the round-5 additions lead
+# (the prior 70 are all green in CORRECTNESS_full_r04.json); the
+# round-3/4 priority block follows
 PRIORITY_PREFIX = [
+    "dedup_duplicate_spans",
+    "dedup_span_stats",
+    "dedup_remove_spans",
+    "url_canonicalize",
+    "url_dedup",
+    "docs_dsir_weights",
+    "docs_quality_gate",
+    "docs_gate_histogram",
+    "docs_build_vocab",
+    "docs_oov_stats",
     "events_asof_orders",
     "events_close_pairs",
     "lineitem_quantiles",
@@ -41,7 +52,7 @@ PRIORITY_PREFIX = [
 def test_registry_shape_and_priority_prefix():
     qs = entrymod.queries()
     names = list(qs)
-    assert len(names) == len(set(names)) == 70
+    assert len(names) == len(set(names)) == 80
     assert names[: len(PRIORITY_PREFIX)] == PRIORITY_PREFIX
     assert all(callable(fn) for fn in qs.values())
 

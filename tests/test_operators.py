@@ -1463,3 +1463,35 @@ def test_quality_gate_rules_and_order(spark):
     }
     assert hist == {"kept": 1, "length": 1, "language": 1,
                     "quality": 1, "repetition": 1, "duplication": 2}
+
+
+def test_build_vocab_and_oov(spark):
+    """Vocab: top-k by (count desc, token asc) with contiguous ids and
+    exact counts/doc-freqs; OOV: rate over the same tokenizer, full
+    coverage -> 0.0, half coverage -> 0.5, empty doc -> 0 tokens."""
+    from rdf_canonize_spark.operators.textstats import build_vocab, oov_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb aa cc"),
+            (2, "aa bb dd"),
+            (3, "aa"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    vocab = build_vocab(docs, k=3)
+    rows = sorted(
+        (r["token_id"], r["token"], r["count"], r["doc_freq"])
+        for r in vocab.collect()
+    )
+    # counts: aa=4(3 docs), bb=2(2), cc=1(1), dd=1(1); top3 ties at
+    # count 1 break lexicographically -> cc
+    assert rows == [(0, "aa", 4, 3), (1, "bb", 2, 2), (2, "cc", 1, 1)]
+    oov = {r["doc_id"]: r for r in oov_stats(docs, vocab).collect()}
+    assert oov[1]["oov_rate"] == 0.0 and oov[1]["n_tokens"] == 4
+    assert oov[2]["n_in_vocab"] == 2 and abs(
+        oov[2]["oov_rate"] - 1 / 3
+    ) < 1e-5
+    assert oov[3]["oov_rate"] == 0.0
+    assert oov[4]["n_tokens"] == 0 and oov[4]["oov_rate"] == 0.0

@@ -65,6 +65,13 @@ GLOBAL_WIN_OK = {
         "init_centroids pool ranking (pool <= ~2k rows by construction)",
     "semantic_dedup":
         "init_centroids pool ranking (pool <= ~2k rows by construction)",
+    # build_vocab assigns ids over the ALREADY-LIMITED top-k frame
+    # (TakeOrderedAndProject bounds it to k=256 rows before the
+    # window); oov_stats embeds the same vocab construction
+    "docs_build_vocab":
+        "vocab id assignment (frame = top-k limit, k=256 rows)",
+    "docs_oov_stats":
+        "vocab id assignment (frame = top-k limit, k=256 rows)",
 }
 
 
