@@ -662,6 +662,19 @@ def q_dsir_weights(spark, sf_dir):
     return sampling.dsir_weights(docs)
 
 
+def q_unigram_ppl(spark, sf_dir):
+    """CCNet-style unigram-LM perplexity: add-one-smoothed unigram
+    distribution fit on the lang='en' reference subset, every doc
+    scored by integer micro-nat mean NLL + whole-nat ppl_band
+    (operators/sampling.py unigram_ppl)."""
+    from rdf_canonize_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    return sampling.unigram_ppl(docs, ref_predicate="lang = 'en'")
+
+
 def q_build_vocab(spark, sf_dir):
     """Tokenizer-vocabulary construction: top-k corpus tokens with
     deterministic ties and contiguous ids (textstats.build_vocab)."""
@@ -980,6 +993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # their original order (all 70 prior entries are green in
     # CORRECTNESS_full_r04.json).
     return {
+        "docs_unigram_ppl": q_unigram_ppl,  # round 5
         "dedup_duplicate_spans": q_duplicate_spans,  # round 5
         "dedup_span_stats": q_duplicate_span_stats,  # round 5
         "dedup_remove_spans": q_remove_duplicate_spans,  # round 5
@@ -1076,6 +1090,9 @@ def oracle_sql() -> dict[str, str]:
         "url_canonicalize": oracle_ops.url_canonicalize(),
         "url_dedup": oracle_ops.url_dedup(),
         "docs_dsir_weights": oracle_ops.dsir_weights(),
+        "docs_unigram_ppl": oracle_ops.unigram_ppl(
+            ref_predicate="lang = 'en'"
+        ),
         "dedup_span_stats": oracle_ops.duplicate_span_stats(),
         "dedup_remove_spans": oracle_ops.remove_duplicate_spans(),
         "docs_quality_gate": oracle_ops.quality_gate(),

@@ -1491,3 +1491,54 @@ SELECT d.doc_id,
                   / a.n_tokens, 6)
        ELSE CAST(0 AS DOUBLE) END AS oov_rate
 FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
+
+def unigram_ppl(ref_predicate=None):
+    """Mirrors sampling.unigram_ppl: same tokenizer, add-one-smoothed
+    unigram distribution over the reference subset, per-token
+    floor(1e6*ln(p)) micro-nats BEFORE any sum, integer floor
+    division for the mean and band (DuckDB ``//`` == Spark ``div``
+    on non-negative operands).  HUGEINT sums cast back to BIGINT."""
+    ref = ref_predicate if ref_predicate is not None else "TRUE"
+    return f"""WITH dt AS MATERIALIZED (
+  SELECT doc_id, is_ref, token, COUNT(*) AS cnt
+  FROM (
+    SELECT doc_id, ({ref}) AS is_ref,
+      unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS token
+    FROM documents
+  ) GROUP BY doc_id, is_ref, token
+),
+rc AS (
+  SELECT token, SUM(cnt) AS ref_cnt FROM dt WHERE is_ref
+  GROUP BY token
+),
+tot AS (
+  SELECT SUM(ref_cnt) AS tt, COUNT(*) AS vv FROM rc
+),
+lut AS (
+  SELECT rc.token,
+    CAST(floor(ln(CAST(rc.ref_cnt + 1 AS DOUBLE)
+                  / CAST(tot.tt + tot.vv AS DOUBLE))
+               * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS lp_micro
+  FROM rc, tot
+),
+scored AS (
+  SELECT dt.doc_id, dt.cnt,
+    COALESCE(lut.lp_micro,
+      (SELECT CAST(floor(ln(CAST(1.0 AS DOUBLE)
+                            / CAST(tot.tt + tot.vv AS DOUBLE))
+                         * CAST(1000000.0 AS DOUBLE)) AS BIGINT)
+       FROM tot)) AS lp_micro
+  FROM dt LEFT JOIN lut ON dt.token = lut.token
+),
+agg AS (
+  SELECT doc_id,
+    CAST(SUM(cnt * lp_micro) AS BIGINT) AS logprob_micro,
+    CAST(SUM(cnt) AS BIGINT) AS n_tokens
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, logprob_micro,
+  CAST((-logprob_micro) // n_tokens AS BIGINT) AS mean_nll_micro,
+  CAST(((-logprob_micro) // n_tokens) // 1000000 AS BIGINT)
+    AS ppl_band
+FROM agg"""

@@ -232,3 +232,107 @@ def dsir_weights(docs, target_predicate="lang = 'en'",
             (F.col("logw_micro") > 0).alias("keep"),
         )
     )
+
+
+def unigram_ppl(docs, ref_predicate=None):
+    """CCNet-style unigram-LM perplexity scoring: fit an add-one-
+    smoothed unigram distribution on a reference corpus (the whole
+    input by default, or the subset matching ``ref_predicate`` --
+    e.g. ``"lang = 'en'"`` to score against clean-language text) and
+    score every document by mean negative log-likelihood.  CCNet
+    buckets documents into head/middle/tail on this signal; the
+    integer ``ppl_band`` (whole nats of mean NLL) is the deterministic
+    bucketing key emitted here.
+
+    Output ``(doc_id, n_tokens, logprob_micro, mean_nll_micro,
+    ppl_band)``.  Parity recipe: per-token log-probabilities are
+    integerized to micro-nats (``floor(1e6 * ln((c+1)/(T+V)))``)
+    BEFORE any sum, so document scores are integer-exact across
+    engines, and the mean is an integer floor division (the
+    entity_pagerank recipe, twice).
+
+    Scale shape: token explode -> one (doc, token) groupBy (uniform
+    keys) -> the V-row probability table reduces from that aggregate
+    -> score join keyed by token.  The probability table is
+    vocabulary-sized (NOT broadcastable at web scale), so the score
+    join is a plain shuffle join; natural-language token frequency is
+    Zipfian, so the hot keys ('the', ',') are exactly what AQE
+    skew-join splitting exists for -- at 100 TB enable
+    spark.sql.adaptive.skewJoin (on by default with AQE).  The
+    3-consumer (doc, token) aggregate is localCheckpointed like
+    dsir_weights'."""
+    from .textstats import TOKEN_PATTERN
+
+    is_ref = (
+        F.expr(ref_predicate) if ref_predicate is not None else F.lit(True)
+    )
+    doc_tok = (
+        docs.select(
+            "doc_id",
+            is_ref.alias("__is_ref"),
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit(TOKEN_PATTERN), F.lit(0)
+                )
+            ).alias("token"),
+        )
+        .groupBy("doc_id", "__is_ref", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
+    )
+    ref_counts = (
+        doc_tok.filter(F.col("__is_ref"))
+        .groupBy("token")
+        .agg(F.sum("cnt").alias("ref_cnt"))
+    )
+    totals = ref_counts.agg(
+        F.sum("ref_cnt").alias("__T"),
+        F.count(F.lit(1)).alias("__V"),
+    )
+    lut = ref_counts.crossJoin(F.broadcast(totals)).select(
+        "token",
+        F.floor(
+            F.log(
+                (F.col("ref_cnt") + 1).cast("double")
+                / (F.col("__T") + F.col("__V")).cast("double")
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("lp_micro"),
+    )
+    # OOV vs the reference subset: join totals once more for the
+    # unseen-token probability 1/(T+V)
+    scored = (
+        doc_tok.join(lut, "token", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            "cnt",
+            F.coalesce(
+                "lp_micro",
+                F.floor(
+                    F.log(
+                        F.lit(1.0)
+                        / (F.col("__T") + F.col("__V")).cast("double")
+                    )
+                    * 1e6
+                ).cast("long"),
+            ).alias("lp_micro"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum(F.col("cnt") * F.col("lp_micro")).alias("logprob_micro"),
+        F.sum("cnt").alias("n_tokens"),
+    )
+    # INTEGER division end-to-end (Spark `div` == DuckDB `//` on
+    # non-negative operands): double-rounded float division could
+    # flip the floor at a band boundary
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "logprob_micro",
+        F.expr("(-logprob_micro) div n_tokens").alias("mean_nll_micro"),
+        F.expr("((-logprob_micro) div n_tokens) div 1000000")
+        .alias("ppl_band"),
+    )

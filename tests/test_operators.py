@@ -1386,6 +1386,57 @@ def test_dsir_weights_separate_target_like_docs(spark):
     )
 
 
+def test_unigram_ppl_reference_subset(spark):
+    """CCNet-style unigram perplexity: the add-one-smoothed LM is fit
+    ONLY on the lang='en' reference subset; every doc (ref or not) is
+    scored against it with integer micro-nat exactness.  Expected
+    values recomputed in Python with the same floor(1e6*ln(p))
+    integerization; an all-OOV doc's mean NLL is exactly the smoothed
+    unseen-token cost; a token-free doc vanishes (no tokens to
+    score)."""
+    import math
+
+    from rdf_canonize_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "a a b"),
+            (2, "en", "a b c"),
+            (3, "de", "a x"),
+            (4, "de", "zz zz"),
+            (5, "en", "   "),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in sampling.unigram_ppl(
+            docs, ref_predicate="lang = 'en'"
+        ).collect()
+    }
+    # ref counts: a=3 b=2 c=1 -> T=6, V=3, denominator 9
+    def lp(c):
+        return math.floor(math.log((c + 1) / 9) * 1e6)
+
+    assert set(got) == {1, 2, 3, 4}  # doc 5 has no tokens
+    assert got[1]["n_tokens"] == 3 and got[4]["n_tokens"] == 2
+    assert got[1]["logprob_micro"] == 2 * lp(3) + lp(2)
+    assert got[2]["logprob_micro"] == lp(3) + lp(2) + lp(1)
+    assert got[3]["logprob_micro"] == lp(3) + lp(0)
+    assert got[4]["logprob_micro"] == 2 * lp(0)
+    for d, r in got.items():
+        assert r["mean_nll_micro"] == (-r["logprob_micro"]) // r["n_tokens"]
+        assert r["ppl_band"] == r["mean_nll_micro"] // 1_000_000
+    # in-distribution text scores strictly better than OOV-heavy text
+    assert (
+        got[1]["mean_nll_micro"]
+        < got[3]["mean_nll_micro"]
+        < got[4]["mean_nll_micro"]
+    )
+    # the all-OOV doc pays exactly the unseen-token cost per token
+    assert got[4]["mean_nll_micro"] == -lp(0)
+
+
 def test_remove_duplicate_spans_planted(spark):
     """Span cleaning drops exactly the duplicated passage from both
     carriers (drop-all-occurrences), keeps unique text on either
