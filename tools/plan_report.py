@@ -50,6 +50,11 @@ NLJ_OK = {
     # amplification -- the corpus itself never crosses the BNLJ
     "docs_dsir_weights": "single-row broadcast totals attach "
                          "(bucket LUT side, <= n_buckets rows)",
+    # two 1-row broadcast build sides: the (T, V) smoothing totals
+    # attached to the V-row probability LUT and to the OOV coalesce;
+    # the corpus-sized score join itself is a token-keyed equi-join
+    "docs_unigram_ppl": "single-row broadcast totals attach "
+                        "(smoothing scalars T and V, 1 row x2)",
 }
 
 # Unpartitioned (single-task) Window operators that are BY DESIGN,
