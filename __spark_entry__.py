@@ -675,6 +675,18 @@ def q_unigram_ppl(spark, sf_dir):
     return sampling.unigram_ppl(docs, ref_predicate="lang = 'en'")
 
 
+def q_tfidf_keywords(spark, sf_dir):
+    """TF-IDF keyword extraction: per-doc top-5 alphabetic
+    non-stopword tokens by tf x integer micro-nat smoothed idf
+    (textstats.tfidf_keywords)."""
+    from rdf_canonize_spark.operators.textstats import tfidf_keywords
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return tfidf_keywords(docs)
+
+
 def q_build_vocab(spark, sf_dir):
     """Tokenizer-vocabulary construction: top-k corpus tokens with
     deterministic ties and contiguous ids (textstats.build_vocab)."""
@@ -993,6 +1005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # their original order (all 70 prior entries are green in
     # CORRECTNESS_full_r04.json).
     return {
+        "docs_tfidf_keywords": q_tfidf_keywords,  # round 5
         "docs_unigram_ppl": q_unigram_ppl,  # round 5
         "dedup_duplicate_spans": q_duplicate_spans,  # round 5
         "dedup_span_stats": q_duplicate_span_stats,  # round 5
@@ -1093,6 +1106,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_unigram_ppl": oracle_ops.unigram_ppl(
             ref_predicate="lang = 'en'"
         ),
+        "docs_tfidf_keywords": oracle_ops.tfidf_keywords(),
         "dedup_span_stats": oracle_ops.duplicate_span_stats(),
         "dedup_remove_spans": oracle_ops.remove_duplicate_spans(),
         "docs_quality_gate": oracle_ops.quality_gate(),

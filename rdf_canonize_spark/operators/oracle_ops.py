@@ -1542,3 +1542,48 @@ SELECT doc_id, n_tokens, logprob_micro,
   CAST(((-logprob_micro) // n_tokens) // 1000000 AS BIGINT)
     AS ppl_band
 FROM agg"""
+
+
+def tfidf_keywords(k=5, min_df=1):
+    """Mirrors textstats.tfidf_keywords: same tokenizer + alpha/
+    stopword filter, smoothed idf integerized to micro-nats before
+    the tf multiply, identical (score desc, token asc) tie order.
+    COUNT(*) is BIGINT on both engines; rank cast to INT to match
+    Spark's row_number."""
+    all_stop = sorted({w for ws in STOPWORDS.values() for w in ws})
+    stop_list = ", ".join("'%s'" % w for w in all_stop)
+    return f"""WITH tf AS MATERIALIZED (
+  SELECT doc_id, token, COUNT(*) AS tf
+  FROM (
+    SELECT doc_id,
+      unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS token
+    FROM documents
+  )
+  WHERE regexp_full_match(token, '[a-z]+')
+    AND token NOT IN ({stop_list})
+  GROUP BY doc_id, token
+),
+dfreq AS (
+  SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+),
+n AS (
+  SELECT COUNT(*) AS nn FROM documents
+),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+    tf.tf * CAST(floor(ln(CAST(n.nn + 1 AS DOUBLE)
+                          / CAST(dfreq.df + 1 AS DOUBLE))
+                       * CAST(1000000.0 AS DOUBLE)) AS BIGINT)
+      AS score_micro
+  FROM tf JOIN dfreq USING (token), n
+  WHERE dfreq.df >= {min_df}
+),
+ranked AS (
+  SELECT doc_id, token, tf, df, score_micro,
+    CAST(row_number() OVER (
+      PARTITION BY doc_id ORDER BY score_micro DESC, token ASC
+    ) AS INT) AS rank
+  FROM scored
+)
+SELECT doc_id, rank, token, tf, df, score_micro
+FROM ranked WHERE rank <= {k}"""

@@ -477,3 +477,77 @@ def oov_stats(docs, vocab):
             ),
         ).otherwise(F.lit(0.0)).alias("oov_rate"),
     )
+
+
+TFIDF_TOP_K = 5
+
+
+def tfidf_keywords(docs, k=TFIDF_TOP_K, min_df=1):
+    """TF-IDF keyword extraction: the top-``k`` alphabetic
+    non-stopword tokens per document ranked by tf x idf -- the
+    classic per-document topicality signal (domain tagging, dedup
+    explanation, corpus browsing).  idf is smoothed
+    ``ln((N+1)/(df+1))`` and integerized to micro-nats
+    (``floor(1e6 * ln)``), so ``score_micro = tf * idf_micro`` is
+    integer-exact cross-engine; ties break token-ascending.
+    Output ``(doc_id, rank, token, tf, df, score_micro)``.
+
+    Scale shape: tokenize -> one (doc, token) tf groupBy (uniform
+    keys; localCheckpointed, 2 consumers) -> token-keyed df
+    aggregate reduces from it -> token-keyed shuffle join back.  The
+    df table is vocabulary-sized (NOT broadcastable at web scale)
+    and token frequency is Zipfian, so the join is the textbook AQE
+    skew-join case -- same note as unigram_ppl's score join.  The
+    corpus-count side is a 1-row broadcast.  The final top-k window
+    is partitioned by doc_id (never global)."""
+    from pyspark.sql import Window
+
+    all_stop = sorted({w for ws in STOPWORDS.values() for w in ws})
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit(TOKEN_PATTERN), F.lit(0)
+                )
+            ).alias("token"),
+        )
+        .filter(
+            F.col("token").rlike("^[a-z]+$")
+            & ~F.col("token").isin(all_stop)
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    ndocs = docs.agg(F.count(F.lit(1)).alias("__N"))
+    scored = (
+        tf.join(dfreq, "token")
+        .filter(F.col("df") >= min_df)
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            (
+                F.col("tf")
+                * F.floor(
+                    F.log(
+                        (F.col("__N") + 1).cast("double")
+                        / (F.col("df") + 1).cast("double")
+                    )
+                    * 1e6
+                ).cast("long")
+            ).alias("score_micro"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_micro").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "rank", "token", "tf", "df", "score_micro")
+    )

@@ -1437,6 +1437,55 @@ def test_unigram_ppl_reference_subset(spark):
     assert got[4]["mean_nll_micro"] == -lp(0)
 
 
+def test_tfidf_keywords_ranks_and_ties(spark):
+    """TF-IDF keywords: stopwords and non-alpha tokens are excluded
+    before any counting, scores are tf x floor(1e6*ln((N+1)/(df+1)))
+    integer-exact, rarer terms outrank commoner ones at equal tf,
+    equal scores break token-ascending, and k/min_df prune as
+    documented."""
+    import math
+
+    from rdf_canonize_spark.operators.textstats import tfidf_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple the"),
+            (2, "banana cherry 42 !!"),
+            (3, "apple cherry cherry date"),
+        ],
+        "doc_id long, text string",
+    )
+    # N=3; df: apple 2, banana 2, cherry 2, date 1
+    def idf(df):
+        return math.floor(math.log(4 / (df + 1)) * 1e6)
+
+    rows = tfidf_keywords(docs).collect()
+    got = {(r["doc_id"], r["rank"]): r for r in rows}
+    # doc 1: 'the' (stopword) gone; apple tf=2 beats banana
+    assert (got[(1, 1)]["token"], got[(1, 1)]["score_micro"]) == (
+        "apple", 2 * idf(2)
+    )
+    assert got[(1, 2)]["token"] == "banana"
+    assert (1, 3) not in got
+    # doc 2: '42' and '!!' excluded; tie at tf=1,df=2 -> token asc
+    assert [got[(2, i)]["token"] for i in (1, 2)] == ["banana", "cherry"]
+    assert got[(2, 1)]["score_micro"] == got[(2, 2)]["score_micro"]
+    # doc 3: date (df=1, idf ln2) outscores cherry tf=2 at df=2
+    assert [got[(3, i)]["token"] for i in (1, 2, 3)] == [
+        "date", "cherry", "apple"
+    ]
+    assert got[(3, 1)]["score_micro"] == idf(1)
+    assert got[(3, 2)]["score_micro"] == 2 * idf(2)
+    # k caps per-doc output; min_df drops singleton terms entirely
+    assert max(
+        r["rank"] for r in tfidf_keywords(docs, k=2).collect()
+    ) == 2
+    toks2 = {
+        r["token"] for r in tfidf_keywords(docs, min_df=2).collect()
+    }
+    assert "date" not in toks2 and "cherry" in toks2
+
+
 def test_remove_duplicate_spans_planted(spark):
     """Span cleaning drops exactly the duplicated passage from both
     carriers (drop-all-occurrences), keeps unique text on either

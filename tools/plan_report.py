@@ -55,6 +55,10 @@ NLJ_OK = {
     # the corpus-sized score join itself is a token-keyed equi-join
     "docs_unigram_ppl": "single-row broadcast totals attach "
                         "(smoothing scalars T and V, 1 row x2)",
+    # 1-row broadcast build side: the corpus doc count N for the
+    # smoothed idf; the score join itself is a token-keyed equi-join
+    "docs_tfidf_keywords": "single-row broadcast corpus-count attach "
+                           "(idf scalar N)",
 }
 
 # Unpartitioned (single-task) Window operators that are BY DESIGN,
