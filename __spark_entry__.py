@@ -675,6 +675,15 @@ def q_unigram_ppl(spark, sf_dir):
     return sampling.unigram_ppl(docs, ref_predicate="lang = 'en'")
 
 
+def q_kmeans_quantized(spark, sf_dir):
+    """Bit-portable Lloyd k-means over integer-quantized embeddings:
+    2 assign/update rounds + final per-cell stats, exact integer
+    means and inertia (similarity.kmeans_quantized)."""
+    from rdf_canonize_spark.operators import similarity
+
+    return similarity.kmeans_quantized(similarity._load(spark, sf_dir))
+
+
 def q_tfidf_keywords(spark, sf_dir):
     """TF-IDF keyword extraction: per-doc top-5 alphabetic
     non-stopword tokens by tf x integer micro-nat smoothed idf
@@ -1005,6 +1014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # their original order (all 70 prior entries are green in
     # CORRECTNESS_full_r04.json).
     return {
+        "emb_kmeans_quantized": q_kmeans_quantized,  # round 5
         "docs_tfidf_keywords": q_tfidf_keywords,  # round 5
         "docs_unigram_ppl": q_unigram_ppl,  # round 5
         "dedup_duplicate_spans": q_duplicate_spans,  # round 5
@@ -1107,6 +1117,7 @@ def oracle_sql() -> dict[str, str]:
             ref_predicate="lang = 'en'"
         ),
         "docs_tfidf_keywords": oracle_ops.tfidf_keywords(),
+        "emb_kmeans_quantized": oracle_ops.kmeans_quantized(),
         "dedup_span_stats": oracle_ops.duplicate_span_stats(),
         "dedup_remove_spans": oracle_ops.remove_duplicate_spans(),
         "docs_quality_gate": oracle_ops.quality_gate(),

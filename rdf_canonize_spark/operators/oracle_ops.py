@@ -1587,3 +1587,91 @@ ranked AS (
 )
 SELECT doc_id, rank, token, tf, df, score_micro
 FROM ranked WHERE rank <= {k}"""
+
+
+def kmeans_quantized(k=16, n_iter=2, scale=1000000):
+    """Mirrors similarity.kmeans_quantized: quantize-after-selection
+    init, n_iter unrolled assign/update rounds as chained CTEs (the
+    PageRank unrolling recipe -- DuckDB CTEs are single-reference
+    unless MATERIALIZED), integer floored means via the pmod
+    subtraction, HUGEINT inertia stringified to match Spark's
+    decimal(38,0) string."""
+    from .similarity import CENTROID_MOD
+
+    qx = f"x -> CAST(floor(x * {scale}.0) AS BIGINT)"
+    dims = range(EMB_DIM)
+
+    def d2(a, b):
+        da, db = f"CAST({a} AS DOUBLE[])", f"CAST({b} AS DOUBLE[])"
+        return (
+            f"CAST(list_dot_product({da}, {da})"
+            f" - 2 * list_dot_product({da}, {db})"
+            f" + list_dot_product({db}, {db}) AS BIGINT)"
+        )
+
+    def assign_cte(name, cents):
+        dd = d2("qe.qv", "c.qcv")
+        return f"""{name} AS MATERIALIZED (
+  SELECT vec_id, qv, cell_id, d2 FROM (
+    SELECT qe.vec_id, qe.qv, c.cell_id, {dd} AS d2,
+      ROW_NUMBER() OVER (
+        PARTITION BY qe.vec_id ORDER BY {dd}, c.cell_id
+      ) AS rn
+    FROM qe, {cents} c
+  ) WHERE rn = 1
+)"""
+
+    def update_ctes(i, prev_assign, prev_cents):
+        sum_cols = ", ".join(
+            f"SUM(qv[{j + 1}]) AS s{j}" for j in dims
+        )
+        mean_exprs = ", ".join(
+            f"CAST((s{j} - ((s{j} % n) + n) % n) // n AS BIGINT)"
+            for j in dims
+        )
+        return f"""means{i} AS (
+  SELECT cell_id, list_value({mean_exprs}) AS qcv FROM (
+    SELECT cell_id, COUNT(*) AS n, {sum_cols}
+    FROM {prev_assign} GROUP BY cell_id
+  )
+),
+cents{i} AS MATERIALIZED (
+  SELECT c.cell_id, COALESCE(m.qcv, c.qcv) AS qcv
+  FROM {prev_cents} c LEFT JOIN means{i} m USING (cell_id)
+)"""
+
+    parts = [f"""WITH {_EMB_CTE},
+ed AS (SELECT * FROM e WHERE len(v) = {EMB_DIM}),
+qe AS MATERIALIZED (
+  SELECT vec_id, list_transform(v, {qx}) AS qv FROM ed
+),
+p AS (
+  SELECT greatest(1, COUNT(*) // {k}) AS stride FROM ed
+),
+cents0 AS MATERIALIZED (
+  SELECT CAST(rn - 1 AS INT) AS cell_id,
+         list_transform(cv, {qx}) AS qcv
+  FROM (
+    SELECT ed.v AS cv,
+      ROW_NUMBER() OVER (
+        ORDER BY (ed.vec_id % p.stride = {CENTROID_MOD} % p.stride)
+          DESC, ed.vec_id ASC
+      ) AS rn
+    FROM ed, p
+  ) WHERE rn <= {k}
+)"""]
+    for i in range(n_iter):
+        parts.append(assign_cte(f"assign{i}", f"cents{i}"))
+        parts.append(update_ctes(i + 1, f"assign{i}", f"cents{i}"))
+    parts.append(assign_cte("assignF", f"cents{n_iter}"))
+    parts.append(f"""stats AS (
+  SELECT cell_id, COUNT(*) AS n_members, SUM(d2) AS inertia
+  FROM assignF GROUP BY cell_id
+)
+SELECT c.cell_id,
+  CAST(COALESCE(s.n_members, 0) AS BIGINT) AS n_members,
+  COALESCE(CAST(CAST(s.inertia AS HUGEINT) AS VARCHAR), '0')
+    AS inertia_q,
+  array_to_string(c.qcv, ',') AS centroid
+FROM cents{n_iter} c LEFT JOIN stats s USING (cell_id)""")
+    return ",\n".join(parts[:-1]) + ",\n" + parts[-1]

@@ -213,7 +213,10 @@ def train_centroids(emb, k=16, n_iter=5):
     deterministic within an engine but NOT bit-portable across
     engines -- which is why the ORACLE-checked queries keep the
     stride sample and this trainer is semantically tested instead
-    (inertia must not increase round over round).
+    (inertia must not increase round over round).  For a fully
+    oracle-checked trainer, see ``kmeans_quantized``: integer
+    quantization makes every Lloyd step order-independent and
+    bit-portable at the cost of micro-unit precision.
 
     Empty cells keep their previous centroid (coalesce), matching the
     standard Lloyd degenerate-cell convention."""
@@ -532,3 +535,117 @@ def lsh_ann_topk(spark, sf_dir, k=TOP_K, n_queries=N_QUERIES,
         / (_norm(F.col("v")) * _norm(F.col("qv"))),
     )
     return _topk(scored, k)
+
+
+KMEANS_SCALE = 1_000_000
+KMEANS_ITER = 2
+
+
+def kmeans_quantized(emb, k=IVF_K, n_iter=KMEANS_ITER,
+                     scale=KMEANS_SCALE):
+    """Lloyd k-means over INTEGER-QUANTIZED embeddings -- the
+    bit-portable trainer: vectors are quantized per-dimension to
+    ``floor(scale * x)`` micro-units, so squared-L2 distances,
+    cluster sums, and floored-division means are exact integer
+    arithmetic, order-independent, and therefore identical across
+    engines (closing the float-summation caveat documented on
+    ``train_centroids``, which remains the full-precision variant).
+
+    Init = ``init_centroids`` (deterministic stride selection is
+    value-independent, so quantizing after selection matches the
+    oracle); each round assigns by integer squared-L2 argmin with
+    (d2, cell_id) ties, then recomputes centroids as the
+    elementwise FLOORED integer mean ``(s - pmod(s, n)) div n``
+    (exact: the pmod subtraction makes the division remainder-free,
+    the same portable-floor recipe as the micro-nat operators).
+    Empty cells keep their previous centroid.  Output, one row per
+    cell after a final assignment: ``(cell_id, n_members,
+    inertia_q, centroid)`` with the integer inertia (decimal-summed,
+    stringified -- sums exceed int64 at corpus scale) and the
+    quantized centroid serialized as a comma-joined string.
+
+    Scale shape: each round is one broadcast N x k assignment (k
+    fixed) + one map-side-combinable per-cell groupBy of 64
+    per-dimension integer sums; the k-row centroid table
+    localCheckpoints between rounds so the plan stays O(1) deep.
+    Integer-exactness bound: |x| <= ~10 keeps per-vector d2 under
+    2^48, exact in the oracle's double-based dot products."""
+    emb = emb.filter(F.size("v") == EMB_DIM)
+    quant = lambda c: F.transform(
+        c, lambda x: F.floor(x * scale).cast("long")
+    )
+    qemb = emb.select("vec_id", quant(F.col("v")).alias("qv"))
+    cents = (
+        init_centroids(emb, k=k)
+        .select("cell_id", quant(F.col("cv")).alias("qcv"))
+        .localCheckpoint()
+    )
+
+    def _assign(frame, cents_df):
+        d2 = F.aggregate(
+            F.zip_with(
+                F.col("qv"), F.col("qcv"),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        scored = frame.crossJoin(F.broadcast(cents_df)).withColumn(
+            "d2", d2
+        )
+        best = scored.groupBy("vec_id").agg(
+            F.min(F.struct("d2", "cell_id", "qv")).alias("m")
+        )
+        return best.select(
+            "vec_id",
+            F.col("m.qv").alias("qv"),
+            F.col("m.cell_id").alias("cell_id"),
+            F.col("m.d2").alias("d2"),
+        )
+
+    sums = [
+        F.sum(F.get(F.col("qv"), i)).alias(f"__s{i}")
+        for i in range(EMB_DIM)
+    ]
+    for _ in range(n_iter):
+        assigned = _assign(qemb, cents)
+        means = (
+            assigned.groupBy("cell_id")
+            .agg(F.count(F.lit(1)).alias("__n"), *sums)
+            .select(
+                "cell_id",
+                F.array(*[
+                    F.expr(
+                        f"(__s{i} - pmod(__s{i}, __n)) div __n"
+                    ).cast("long")
+                    for i in range(EMB_DIM)
+                ]).alias("__new_qcv"),
+            )
+        )
+        cents = (
+            cents.join(means, "cell_id", "left")
+            .select(
+                "cell_id",
+                F.coalesce("__new_qcv", "qcv").alias("qcv"),
+            )
+            .localCheckpoint()
+        )
+    final = _assign(qemb, cents)
+    stats = final.groupBy("cell_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum(F.col("d2").cast("decimal(38,0)")).alias("__inertia"),
+    )
+    return (
+        cents.join(stats, "cell_id", "left")
+        .select(
+            "cell_id",
+            F.coalesce("n_members", F.lit(0)).alias("n_members"),
+            F.coalesce(
+                F.col("__inertia").cast("string"), F.lit("0")
+            ).alias("inertia_q"),
+            F.array_join(
+                F.transform(F.col("qcv"), lambda x: x.cast("string")),
+                ",",
+            ).alias("centroid"),
+        )
+    )

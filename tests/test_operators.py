@@ -1486,6 +1486,61 @@ def test_tfidf_keywords_ranks_and_ties(spark):
     assert "date" not in toks2 and "cherry" in toks2
 
 
+def test_kmeans_quantized_planted_and_empty_cell(spark):
+    """Integer-quantized Lloyd: with two planted well-separated
+    clusters and init centroids landing one in each (vec_id stride
+    selection), the trained centroids are the exact floored integer
+    means and the inertia matches a hand computation; with all
+    points identical, the d2 ties all break to cell 0 and the empty
+    cell keeps its init centroid with zero members."""
+    import math
+
+    from rdf_canonize_spark.operators.similarity import (
+        EMB_DIM,
+        kmeans_quantized,
+    )
+
+    def vec(x):
+        return [float(x)] * EMB_DIM
+
+    def q(x):
+        return math.floor(x * 1e6)
+
+    # n=4, k=2 -> stride 2, matches vec_id%2==1: init = v1, v3
+    docs = spark.createDataFrame(
+        [
+            (0, vec(1.0), "a"),
+            (1, vec(1.2), "a"),
+            (2, vec(-1.0), "b"),
+            (3, vec(-1.2), "b"),
+        ],
+        "vec_id long, v array<double>, label string",
+    )
+    got = {
+        r["cell_id"]: r for r in kmeans_quantized(docs, k=2).collect()
+    }
+    ma = (q(1.0) + q(1.2)) // 2        # exact floored integer mean
+    mb = (q(-1.0) + q(-1.2)) // 2
+    assert got[0]["centroid"] == ",".join([str(ma)] * EMB_DIM)
+    assert got[1]["centroid"] == ",".join([str(mb)] * EMB_DIM)
+    assert got[0]["n_members"] == 2 and got[1]["n_members"] == 2
+    ia = EMB_DIM * ((q(1.0) - ma) ** 2 + (q(1.2) - ma) ** 2)
+    ib = EMB_DIM * ((q(-1.0) - mb) ** 2 + (q(-1.2) - mb) ** 2)
+    assert got[0]["inertia_q"] == str(ia)
+    assert got[1]["inertia_q"] == str(ib)
+    # all-identical points: ties collapse into cell 0, cell 1 empty
+    same = spark.createDataFrame(
+        [(i, vec(0.5), "s") for i in range(4)],
+        "vec_id long, v array<double>, label string",
+    )
+    got2 = {
+        r["cell_id"]: r for r in kmeans_quantized(same, k=2).collect()
+    }
+    assert got2[0]["n_members"] == 4 and got2[0]["inertia_q"] == "0"
+    assert got2[1]["n_members"] == 0 and got2[1]["inertia_q"] == "0"
+    assert got2[1]["centroid"] == ",".join([str(q(0.5))] * EMB_DIM)
+
+
 def test_remove_duplicate_spans_planted(spark):
     """Span cleaning drops exactly the duplicated passage from both
     carriers (drop-all-occurrences), keeps unique text on either

@@ -59,6 +59,11 @@ NLJ_OK = {
     # smoothed idf; the score join itself is a token-keyed equi-join
     "docs_tfidf_keywords": "single-row broadcast corpus-count attach "
                            "(idf scalar N)",
+    # same broadcast-centroid assignment shape as the IVF family:
+    # each Lloyd round is N x k with k FIXED -- constant-factor
+    # amplification however large the corpus grows
+    "emb_kmeans_quantized":
+        "broadcast-centroid Lloyd assignment (N x k, k fixed)",
 }
 
 # Unpartitioned (single-task) Window operators that are BY DESIGN,
@@ -73,6 +78,8 @@ GLOBAL_WIN_OK = {
     "ann_ivf_trained_topk":
         "init_centroids pool ranking (pool <= ~2k rows by construction)",
     "semantic_dedup":
+        "init_centroids pool ranking (pool <= ~2k rows by construction)",
+    "emb_kmeans_quantized":
         "init_centroids pool ranking (pool <= ~2k rows by construction)",
     # build_vocab assigns ids over the ALREADY-LIMITED top-k frame
     # (TakeOrderedAndProject bounds it to k=256 rows before the
