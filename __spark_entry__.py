@@ -675,6 +675,18 @@ def q_unigram_ppl(spark, sf_dir):
     return sampling.unigram_ppl(docs, ref_predicate="lang = 'en'")
 
 
+def q_nfc_profile(spark, sf_dir):
+    """Unicode NFC-normalization profile: changed flag, normalized
+    code-point length, md5 dedup key (textstats.nfc_profile,
+    Arrow-batched kernel; zero shuffles)."""
+    from rdf_canonize_spark.operators.textstats import nfc_profile
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return nfc_profile(docs)
+
+
 def q_kmeans_quantized(spark, sf_dir):
     """Bit-portable Lloyd k-means over integer-quantized embeddings:
     2 assign/update rounds + final per-cell stats, exact integer
@@ -1014,6 +1026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # their original order (all 70 prior entries are green in
     # CORRECTNESS_full_r04.json).
     return {
+        "docs_nfc_profile": q_nfc_profile,  # round 5
         "emb_kmeans_quantized": q_kmeans_quantized,  # round 5
         "docs_tfidf_keywords": q_tfidf_keywords,  # round 5
         "docs_unigram_ppl": q_unigram_ppl,  # round 5
@@ -1118,6 +1131,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "docs_tfidf_keywords": oracle_ops.tfidf_keywords(),
         "emb_kmeans_quantized": oracle_ops.kmeans_quantized(),
+        "docs_nfc_profile": oracle_ops.nfc_profile(),
         "dedup_span_stats": oracle_ops.duplicate_span_stats(),
         "dedup_remove_spans": oracle_ops.remove_duplicate_spans(),
         "docs_quality_gate": oracle_ops.quality_gate(),

@@ -1675,3 +1675,14 @@ SELECT c.cell_id,
   array_to_string(c.qcv, ',') AS centroid
 FROM cents{n_iter} c LEFT JOIN stats s USING (cell_id)""")
     return ",\n".join(parts[:-1]) + ",\n" + parts[-1]
+
+
+def nfc_profile():
+    """Mirrors textstats.nfc_profile: utf8proc NFC vs Python
+    unicodedata NFC (both Unicode canonical composition); md5 over
+    the normalized UTF-8 bytes, length in code points."""
+    return """SELECT doc_id,
+  nfc_normalize(text) <> text AS changed,
+  CAST(length(nfc_normalize(text)) AS INT) AS norm_len,
+  md5(nfc_normalize(text)) AS norm_hash
+FROM documents"""

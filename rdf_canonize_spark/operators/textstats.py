@@ -551,3 +551,58 @@ def tfidf_keywords(docs, k=TFIDF_TOP_K, min_df=1):
         .filter(F.col("rank") <= k)
         .select("doc_id", "rank", "token", "tf", "df", "score_micro")
     )
+
+
+def nfc_profile(docs):
+    """Unicode NFC-normalization profile per document -- the web-text
+    cleaning signal for mojibake / decomposed-form detection and for
+    normalization-invariant dedup keys: ``(doc_id, changed,
+    norm_len, norm_hash)`` where ``norm_hash`` is the md5 hex of the
+    NFC-normalized text's UTF-8 bytes (the dedup key that collapses
+    canonically-equivalent spellings) and ``changed`` flags documents
+    whose text was not already in NFC.
+
+    Spark has no built-in Unicode normalizer, so this is an
+    Arrow-batched Python kernel (``mapInPandas``), the same
+    documented slow-path pattern as the canonize kernel -- NOT a
+    per-row UDF.  The DuckDB twin is ``nfc_normalize`` (utf8proc);
+    both implement Unicode canonical composition, equality pinned by
+    the planted-combining-mark test.
+
+    Scale shape: embarrassingly parallel map over existing
+    partitions -- ZERO shuffles, no driver involvement; column
+    pruning via the explicit select."""
+    import pandas as pd
+
+    def kernel(batches):
+        import hashlib
+        import unicodedata
+
+        for pdf in batches:
+            norm = [
+                unicodedata.normalize("NFC", s) if s is not None else None
+                for s in pdf["text"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "changed": [
+                        n != s
+                        for n, s in zip(norm, pdf["text"])
+                    ],
+                    "norm_len": [
+                        len(n) if n is not None else 0 for n in norm
+                    ],
+                    "norm_hash": [
+                        hashlib.md5(n.encode("utf-8")).hexdigest()
+                        if n is not None
+                        else None
+                        for n in norm
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        kernel,
+        "doc_id long, changed boolean, norm_len int, norm_hash string",
+    )

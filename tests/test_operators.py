@@ -1541,6 +1541,67 @@ def test_kmeans_quantized_planted_and_empty_cell(spark):
     assert got2[1]["centroid"] == ",".join([str(q(0.5))] * EMB_DIM)
 
 
+def test_nfc_profile_planted_and_duckdb_parity(spark):
+    """NFC profile: decomposed combining marks and Hangul jamo
+    compose (changed=True, shorter norm_len), precomposed / ASCII /
+    astral text passes through, and canonically-equivalent spellings
+    collapse to the SAME dedup key.  The same planted rows run
+    through DuckDB's utf8proc nfc_normalize to pin the
+    Python-unicodedata <-> utf8proc equivalence the oracle relies
+    on (the synthetic corpus is mostly ASCII, so the contract row
+    alone would not exercise it)."""
+    import hashlib
+    import unicodedata
+
+    import duckdb
+
+    from rdf_canonize_spark.operators import oracle_ops
+    from rdf_canonize_spark.operators.textstats import nfc_profile
+
+    e_acute = chr(0xE9)                      # precomposed
+    e_combining = "e" + chr(0x301)           # decomposed
+    hangul_jamo = chr(0x1100) + chr(0x1161) + chr(0x11A8)
+    astral = chr(0x1F600) + " ok"
+    rows = [
+        (1, "plain ascii"),
+        (2, e_acute),
+        (3, e_combining),
+        (4, hangul_jamo),
+        (5, astral),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in nfc_profile(docs).collect()}
+    assert not got[1]["changed"] and got[1]["norm_len"] == 11
+    assert not got[2]["changed"] and got[2]["norm_len"] == 1
+    assert got[3]["changed"] and got[3]["norm_len"] == 1
+    # canonical equivalence -> identical dedup key
+    assert got[3]["norm_hash"] == got[2]["norm_hash"]
+    assert got[2]["norm_hash"] == hashlib.md5(
+        e_acute.encode("utf-8")
+    ).hexdigest()
+    assert got[4]["changed"] and got[4]["norm_len"] == 1
+    assert got[4]["norm_hash"] == hashlib.md5(
+        unicodedata.normalize("NFC", hangul_jamo).encode("utf-8")
+    ).hexdigest()
+    assert not got[5]["changed"] and got[5]["norm_len"] == 4
+    # utf8proc parity on the same planted rows
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents(doc_id BIGINT, text VARCHAR)"
+    )
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    oracle = {
+        r[0]: r
+        for r in con.execute(oracle_ops.nfc_profile()).fetchall()
+    }
+    for d in got:
+        assert (
+            got[d]["changed"],
+            got[d]["norm_len"],
+            got[d]["norm_hash"],
+        ) == oracle[d][1:], f"doc {d} diverges from utf8proc"
+
+
 def test_remove_duplicate_spans_planted(spark):
     """Span cleaning drops exactly the duplicated passage from both
     carriers (drop-all-occurrences), keeps unique text on either
