@@ -1602,6 +1602,43 @@ def test_nfc_profile_planted_and_duckdb_parity(spark):
         ) == oracle[d][1:], f"doc {d} diverges from utf8proc"
 
 
+def test_round5_operators_repartition_invariant(spark):
+    """The round-5 scoring operators are pure functions of their
+    input rows: identical outputs whatever the physical partitioning
+    (the repartition-invariance bar every per-doc operator in this
+    repo has to clear), and nfc_profile adds ZERO exchanges to the
+    plan (embarrassingly parallel map)."""
+    from rdf_canonize_spark.operators import sampling
+    from rdf_canonize_spark.operators.textstats import (
+        nfc_profile,
+        tfidf_keywords,
+    )
+    from rdf_canonize_spark.plans.checks import assert_no_shuffle
+
+    docs = spark.createDataFrame(
+        [
+            (i, "en" if i % 2 else "de",
+             f"alpha beta w{i} w{i % 3} gamma " * (1 + i % 4))
+            for i in range(24)
+        ],
+        "doc_id long, lang string, text string",
+    )
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(sampling.unigram_ppl(docs, "lang = 'en'")) == rows(
+        sampling.unigram_ppl(docs.repartition(13), "lang = 'en'")
+    )
+    assert rows(tfidf_keywords(docs)) == rows(
+        tfidf_keywords(docs.repartition(7))
+    )
+    assert rows(nfc_profile(docs)) == rows(
+        nfc_profile(docs.repartition(5))
+    )
+    assert_no_shuffle(nfc_profile(docs), "nfc_profile")
+
+
 def test_remove_duplicate_spans_planted(spark):
     """Span cleaning drops exactly the duplicated passage from both
     carriers (drop-all-occurrences), keeps unique text on either
