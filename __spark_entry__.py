@@ -675,6 +675,13 @@ def q_unigram_ppl(spark, sf_dir):
     return sampling.unigram_ppl(docs, ref_predicate="lang = 'en'")
 
 
+def q_containment_pairs(spark, sf_dir):
+    """Asymmetric containment dedup over the planted near-dup corpus:
+    rare-shingle candidates, full-set intersection, directional
+    inner/outer containment (dedup.containment_pairs)."""
+    return dedup.containment_pairs(dedup.near_dup_corpus(spark, sf_dir))
+
+
 def q_nfc_profile(spark, sf_dir):
     """Unicode NFC-normalization profile: changed flag, normalized
     code-point length, md5 dedup key (textstats.nfc_profile,
@@ -1026,6 +1033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # their original order (all 70 prior entries are green in
     # CORRECTNESS_full_r04.json).
     return {
+        "dedup_containment_pairs": q_containment_pairs,  # round 5
         "docs_nfc_profile": q_nfc_profile,  # round 5
         "emb_kmeans_quantized": q_kmeans_quantized,  # round 5
         "docs_tfidf_keywords": q_tfidf_keywords,  # round 5
@@ -1132,6 +1140,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_tfidf_keywords": oracle_ops.tfidf_keywords(),
         "emb_kmeans_quantized": oracle_ops.kmeans_quantized(),
         "docs_nfc_profile": oracle_ops.nfc_profile(),
+        "dedup_containment_pairs": oracle_ops.containment_pairs(),
         "dedup_span_stats": oracle_ops.duplicate_span_stats(),
         "dedup_remove_spans": oracle_ops.remove_duplicate_spans(),
         "docs_quality_gate": oracle_ops.quality_gate(),

@@ -693,3 +693,94 @@ def remove_duplicate_spans(docs, spans_df=None, n=SPAN_NGRAM,
             .alias("n_removed_words"),
         )
     )
+
+
+CONTAIN_THRESHOLD = 0.8
+CONTAIN_MAX_DF = 8
+
+
+def containment_pairs(corpus, threshold=CONTAIN_THRESHOLD,
+                      max_doc_freq=CONTAIN_MAX_DF):
+    """Asymmetric containment dedup -- the quote/mirror/aggregator
+    case SYMMETRIC Jaccard misses: a 50-word doc embedded verbatim in
+    a 5,000-word page has Jaccard ~0.01 but containment ~1.0.
+    ``containment(inner in outer) = |S_inner & S_outer| / |S_inner|``
+    over the full shingle sets; inner = the smaller shingle set
+    (ties: smaller doc_id).  Output ``(doc_inner, doc_outer,
+    n_common, size_inner, size_outer, containment)`` for pairs at or
+    above ``threshold``.
+
+    Candidates are pairs sharing >= 1 RARE shingle (doc-freq <=
+    ``max_doc_freq``) -- the prefix-filter analog: a truly contained
+    document shares ALL its shingles with its container, including
+    its rarest, so every inner doc owning at least one rare shingle
+    is recalled exactly; documents composed entirely of boilerplate
+    shingles are the documented recall gap (and are what
+    ``boilerplate_segments`` exists to strip first).
+
+    Scale shape: the candidate self-join is bounded at
+    ``max_doc_freq^2`` rows per rare shingle -- never
+    corpus-quadratic -- and intersection counting joins candidates
+    back to the full shingle table doc-keyed (the
+    ``jaccard_on_candidates`` shape).  One multi-consumer shingle
+    table, cached."""
+    sh = word_shingles(corpus).cache()
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_doc_freq)
+        .select("shingle")
+    )
+    rare_sh = sh.join(rare, "shingle", "left_semi")
+    cand = (
+        rare_sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        .join(
+            rare_sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            "shingle",
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    common = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"),
+                  "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+              ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    joined = common.join(
+        sizes.select(F.col("doc_id").alias("doc_a"),
+                     F.col("n_shingles").alias("size_a")),
+        "doc_a",
+    ).join(
+        sizes.select(F.col("doc_id").alias("doc_b"),
+                     F.col("n_shingles").alias("size_b")),
+        "doc_b",
+    )
+    a_is_inner = (F.col("size_a") < F.col("size_b")) | (
+        (F.col("size_a") == F.col("size_b"))
+        & (F.col("doc_a") < F.col("doc_b"))
+    )
+    directed = joined.select(
+        F.when(a_is_inner, F.col("doc_a")).otherwise(F.col("doc_b"))
+        .alias("doc_inner"),
+        F.when(a_is_inner, F.col("doc_b")).otherwise(F.col("doc_a"))
+        .alias("doc_outer"),
+        "n_common",
+        F.when(a_is_inner, F.col("size_a")).otherwise(F.col("size_b"))
+        .alias("size_inner"),
+        F.when(a_is_inner, F.col("size_b")).otherwise(F.col("size_a"))
+        .alias("size_outer"),
+    )
+    return directed.withColumn(
+        "containment",
+        F.round(F.col("n_common") / F.col("size_inner"), 6),
+    ).filter(
+        (F.col("n_common") / F.col("size_inner"))
+        >= F.lit(float(threshold))
+    )

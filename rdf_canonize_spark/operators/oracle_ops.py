@@ -1686,3 +1686,56 @@ def nfc_profile():
   CAST(length(nfc_normalize(text)) AS INT) AS norm_len,
   md5(nfc_normalize(text)) AS norm_hash
 FROM documents"""
+
+
+def containment_pairs(threshold=0.8, max_doc_freq=8):
+    """Mirrors dedup.containment_pairs: same shingle definition, rare
+    (df <= max_doc_freq) candidate generation, full-set intersection
+    counts, (size, doc_id) inner/outer direction, double division
+    with a repr-literal threshold cast (CLAUDE.md decimal rule)."""
+    thr = repr(float(threshold))
+    return f"""WITH {CORPUS_CTE},
+{SHINGLES_CTE},
+rare AS (
+  SELECT shingle FROM shingles
+  GROUP BY shingle HAVING COUNT(*) <= {int(max_doc_freq)}
+),
+rare_sh AS (
+  SELECT s.doc_id, s.shingle FROM shingles s
+  JOIN rare USING (shingle)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM rare_sh a JOIN rare_sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+),
+common AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN shingles sa ON sa.doc_id = c.doc_a
+  JOIN shingles sb ON sb.doc_id = c.doc_b
+    AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS n_shingles FROM shingles GROUP BY doc_id
+),
+directed AS (
+  SELECT
+    CASE WHEN za.n_shingles < zb.n_shingles
+          OR (za.n_shingles = zb.n_shingles AND doc_a < doc_b)
+      THEN doc_a ELSE doc_b END AS doc_inner,
+    CASE WHEN za.n_shingles < zb.n_shingles
+          OR (za.n_shingles = zb.n_shingles AND doc_a < doc_b)
+      THEN doc_b ELSE doc_a END AS doc_outer,
+    n_common,
+    least(za.n_shingles, zb.n_shingles) AS size_inner,
+    greatest(za.n_shingles, zb.n_shingles) AS size_outer
+  FROM common
+  JOIN sizes za ON za.doc_id = common.doc_a
+  JOIN sizes zb ON zb.doc_id = common.doc_b
+)
+SELECT doc_inner, doc_outer, n_common, size_inner, size_outer,
+  round(CAST(n_common AS DOUBLE) / size_inner, 6) AS containment
+FROM directed
+WHERE CAST(n_common AS DOUBLE) / size_inner >= CAST({thr} AS DOUBLE)"""

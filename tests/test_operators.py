@@ -1639,6 +1639,44 @@ def test_round5_operators_repartition_invariant(spark):
     assert_no_shuffle(nfc_profile(docs), "nfc_profile")
 
 
+def test_containment_pairs_asymmetric_case(spark):
+    """Containment dedup finds the short-doc-embedded-in-long-doc
+    case that symmetric Jaccard misses entirely: a 7-word quote
+    inside a 30-word page has containment 1.0 but Jaccard ~0.16;
+    direction puts the smaller shingle set inner; partial overlap
+    below threshold is excluded; disjoint docs never pair."""
+    from rdf_canonize_spark.operators import dedup
+
+    long_words = " ".join(f"w{i}" for i in range(30))
+    quote = " ".join(f"w{i}" for i in range(10, 17))       # inside
+    partial = " ".join(f"w{i}" for i in range(27, 30)) + " x1 x2 x3 x4"
+    docs = spark.createDataFrame(
+        [
+            (1, long_words),
+            (2, quote),
+            (3, "u0 u1 u2 u3 u4 u5"),
+            (4, partial),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_inner"], r["doc_outer"]): r
+        for r in dedup.containment_pairs(docs).collect()
+    }
+    assert (2, 1) in got
+    r = got[(2, 1)]
+    assert r["containment"] == 1.0
+    assert r["size_inner"] == 5 and r["size_outer"] == 28
+    assert all(3 not in pair for pair in got)
+    assert (4, 1) not in got and (1, 4) not in got  # 1/5 < 0.8
+    # and symmetric Jaccard at its default threshold misses the pair
+    jac = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert (1, 2) not in jac and (2, 1) not in jac
+
+
 def test_remove_duplicate_spans_planted(spark):
     """Span cleaning drops exactly the duplicated passage from both
     carriers (drop-all-occurrences), keeps unique text on either
