@@ -675,6 +675,18 @@ def q_unigram_ppl(spark, sf_dir):
     return sampling.unigram_ppl(docs, ref_predicate="lang = 'en'")
 
 
+def q_source_profile(spark, sf_dir):
+    """Per-source curation profile: doc count, exact-dup rate, token
+    volume, majority language + purity, mean length
+    (textstats.source_profile)."""
+    from rdf_canonize_spark.operators.textstats import source_profile
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "lang", "text"
+    )
+    return source_profile(docs)
+
+
 def q_containment_pairs(spark, sf_dir):
     """Asymmetric containment dedup over the planted near-dup corpus:
     rare-shingle candidates, full-set intersection, directional
@@ -1033,6 +1045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # their original order (all 70 prior entries are green in
     # CORRECTNESS_full_r04.json).
     return {
+        "docs_source_profile": q_source_profile,  # round 5
         "dedup_containment_pairs": q_containment_pairs,  # round 5
         "docs_nfc_profile": q_nfc_profile,  # round 5
         "emb_kmeans_quantized": q_kmeans_quantized,  # round 5
@@ -1141,6 +1154,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_kmeans_quantized": oracle_ops.kmeans_quantized(),
         "docs_nfc_profile": oracle_ops.nfc_profile(),
         "dedup_containment_pairs": oracle_ops.containment_pairs(),
+        "docs_source_profile": oracle_ops.source_profile(),
         "dedup_span_stats": oracle_ops.duplicate_span_stats(),
         "dedup_remove_spans": oracle_ops.remove_duplicate_spans(),
         "docs_quality_gate": oracle_ops.quality_gate(),

@@ -1739,3 +1739,48 @@ SELECT doc_inner, doc_outer, n_common, size_inner, size_outer,
   round(CAST(n_common AS DOUBLE) / size_inner, 6) AS containment
 FROM directed
 WHERE CAST(n_common AS DOUBLE) / size_inner >= CAST({thr} AS DOUBLE)"""
+
+
+def source_profile():
+    """Mirrors textstats.source_profile: md5 text keys, shared
+    tokenizer for counts, (count DESC, lang ASC) majority pick via
+    row_number, round(x,6) doubles, integer floor divisions, HUGEINT
+    sums cast back to BIGINT."""
+    return f"""WITH tok AS (
+  SELECT doc_id, source,
+    len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS n_toks,
+    md5(text) AS text_key,
+    length(text) AS n_chars
+  FROM documents
+),
+base AS (
+  SELECT source,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(COUNT(DISTINCT text_key) AS BIGINT) AS n_unique,
+    CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+    CAST(SUM(n_chars) AS BIGINT) AS total_chars
+  FROM tok GROUP BY source
+),
+lc AS (
+  SELECT source, lang, COUNT(*) AS cnt
+  FROM documents GROUP BY source, lang
+),
+major AS (
+  SELECT source, lang, cnt, n_all FROM (
+    SELECT source, lang, cnt,
+      SUM(cnt) OVER (PARTITION BY source) AS n_all,
+      ROW_NUMBER() OVER (
+        PARTITION BY source ORDER BY cnt DESC, lang ASC
+      ) AS rn
+    FROM lc
+  ) WHERE rn = 1
+)
+SELECT b.source, b.n_docs,
+  round(CAST(1.0 AS DOUBLE)
+        - CAST(b.n_unique AS DOUBLE) / b.n_docs, 6) AS dup_rate,
+  b.total_tokens,
+  CAST(b.total_tokens // b.n_docs AS BIGINT) AS mean_tokens,
+  m.lang AS major_lang,
+  round(CAST(m.cnt AS DOUBLE) / m.n_all, 6) AS lang_purity,
+  CAST(b.total_chars // b.n_docs AS BIGINT) AS mean_chars
+FROM base b JOIN major m USING (source)"""

@@ -606,3 +606,71 @@ def nfc_profile(docs):
         kernel,
         "doc_id long, changed boolean, norm_len int, norm_hash string",
     )
+
+
+def source_profile(docs):
+    """Per-source (domain/crawl-feed) curation profile -- the
+    RefinedWeb/C4-style reputation rollup that drives source-level
+    include/exclude and mixing decisions: document count, exact-dup
+    rate (1 - distinct-text fraction, md5-keyed), token volume with
+    floored mean, majority language with purity, and mean document
+    length.  Output ``(source, n_docs, dup_rate, total_tokens,
+    mean_tokens, major_lang, lang_purity, mean_chars)``.
+
+    Parity recipes: dup_rate/lang_purity are round(x, 6) doubles;
+    mean_tokens/mean_chars are integer floor divisions (counts are
+    non-negative, so Spark ``div`` == DuckDB ``//``); the majority
+    language breaks ties lexicographically via a (count DESC, lang
+    ASC) struct max.
+
+    Scale shape: one tokenize + per-doc count (uniform doc keys),
+    then TWO source-keyed aggregates ((source, lang) then source) and
+    one source-keyed join -- sources are the natural unit of skew
+    (one giant domain), and every aggregate here is map-side
+    combinable, so a hot source reduces mostly before the shuffle."""
+    tok = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.size(
+                F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit(TOKEN_PATTERN), F.lit(0)
+                )
+            ).alias("n_toks"),
+            F.md5(F.col("text")).alias("text_key"),
+            F.length("text").alias("n_chars"),
+        )
+    )
+    base = tok.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("text_key").alias("n_unique"),
+        F.sum("n_toks").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    lang_counts = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # (count DESC, lang ASC) argmax as a struct MIN over (-cnt, lang)
+    major = lang_counts.groupBy("source").agg(
+        F.min(
+            F.struct((-F.col("cnt")).alias("neg"), F.col("lang"))
+        ).alias("m"),
+        F.sum("cnt").alias("n_all"),
+    )
+    return (
+        base.join(major, "source")
+        .select(
+            "source",
+            "n_docs",
+            F.round(
+                F.lit(1.0) - F.col("n_unique") / F.col("n_docs"), 6
+            ).alias("dup_rate"),
+            "total_tokens",
+            F.expr("total_tokens div n_docs").alias("mean_tokens"),
+            F.col("m.lang").alias("major_lang"),
+            F.round((-F.col("m.neg")) / F.col("n_all"), 6).alias(
+                "lang_purity"
+            ),
+            F.expr("total_chars div n_docs").alias("mean_chars"),
+        )
+    )

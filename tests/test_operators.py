@@ -1677,6 +1677,37 @@ def test_containment_pairs_asymmetric_case(spark):
     assert (1, 2) not in jac and (2, 1) not in jac
 
 
+def test_source_profile_planted(spark):
+    """Per-source profile: exact-dup rate counts repeated text once,
+    token/char means are integer floor divisions, majority language
+    breaks count ties lexicographically (lang ASC), purity is the
+    majority share."""
+    from rdf_canonize_spark.operators.textstats import source_profile
+
+    docs = spark.createDataFrame(
+        [
+            (1, "s1", "en", "a b c"),
+            (2, "s1", "en", "a b c"),
+            (3, "s1", "de", "d e f g"),
+            (4, "s2", "de", "x y"),
+            (5, "s2", "en", "z w"),
+        ],
+        "doc_id long, source string, lang string, text string",
+    )
+    got = {r["source"]: r for r in source_profile(docs).collect()}
+    s1 = got["s1"]
+    assert s1["n_docs"] == 3
+    assert abs(s1["dup_rate"] - round(1 - 2 / 3, 6)) < 1e-12
+    assert s1["total_tokens"] == 10 and s1["mean_tokens"] == 3
+    assert s1["major_lang"] == "en"
+    assert abs(s1["lang_purity"] - round(2 / 3, 6)) < 1e-12
+    assert s1["mean_chars"] == (5 + 5 + 7) // 3
+    s2 = got["s2"]
+    assert s2["dup_rate"] == 0.0
+    assert s2["major_lang"] == "de"  # 1-1 tie -> lang ASC
+    assert s2["lang_purity"] == 0.5
+
+
 def test_remove_duplicate_spans_planted(spark):
     """Span cleaning drops exactly the duplicated passage from both
     carriers (drop-all-occurrences), keeps unique text on either
