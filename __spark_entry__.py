@@ -675,6 +675,17 @@ def q_unigram_ppl(spark, sf_dir):
     return sampling.unigram_ppl(docs, ref_predicate="lang = 'en'")
 
 
+def q_bigram_ppl(spark, sf_dir):
+    """Order-aware bigram-LM perplexity vs the lang='en' reference
+    subset (sampling.bigram_ppl; integer micro-nat exact)."""
+    from rdf_canonize_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    return sampling.bigram_ppl(docs, ref_predicate="lang = 'en'")
+
+
 def q_source_profile(spark, sf_dir):
     """Per-source curation profile: doc count, exact-dup rate, token
     volume, majority language + purity, mean length
@@ -1045,6 +1056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # their original order (all 70 prior entries are green in
     # CORRECTNESS_full_r04.json).
     return {
+        "docs_bigram_ppl": q_bigram_ppl,  # round 5
         "docs_source_profile": q_source_profile,  # round 5
         "dedup_containment_pairs": q_containment_pairs,  # round 5
         "docs_nfc_profile": q_nfc_profile,  # round 5
@@ -1155,6 +1167,9 @@ def oracle_sql() -> dict[str, str]:
         "docs_nfc_profile": oracle_ops.nfc_profile(),
         "dedup_containment_pairs": oracle_ops.containment_pairs(),
         "docs_source_profile": oracle_ops.source_profile(),
+        "docs_bigram_ppl": oracle_ops.bigram_ppl(
+            ref_predicate="lang = 'en'"
+        ),
         "dedup_span_stats": oracle_ops.duplicate_span_stats(),
         "dedup_remove_spans": oracle_ops.remove_duplicate_spans(),
         "docs_quality_gate": oracle_ops.quality_gate(),

@@ -1784,3 +1784,53 @@ SELECT b.source, b.n_docs,
   round(CAST(m.cnt AS DOUBLE) / m.n_all, 6) AS lang_purity,
   CAST(b.total_chars // b.n_docs AS BIGINT) AS mean_chars
 FROM base b JOIN major m USING (source)"""
+
+
+def bigram_ppl(ref_predicate=None):
+    """Mirrors sampling.bigram_ppl: zipped-unnest bigram explode
+    (DuckDB zips parallel unnests positionally), add-one conditional
+    probabilities over the reference subset, per-bigram
+    floor(1e6*ln(p)) BEFORE any sum, integer floor divisions."""
+    ref = ref_predicate if ref_predicate is not None else "TRUE"
+    return f"""WITH dt AS MATERIALIZED (
+  SELECT doc_id, is_ref, w1, w2, COUNT(*) AS cnt FROM (
+    SELECT doc_id, is_ref,
+      unnest(ts[1:greatest(len(ts) - 1, 0)]) AS w1,
+      unnest(ts[2:len(ts)]) AS w2
+    FROM (
+      SELECT doc_id, ({ref}) AS is_ref,
+        regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS ts
+      FROM documents
+    )
+  ) GROUP BY doc_id, is_ref, w1, w2
+),
+rb AS MATERIALIZED (
+  SELECT w1, w2, SUM(cnt) AS cb FROM dt WHERE is_ref
+  GROUP BY w1, w2
+),
+rc AS MATERIALIZED (
+  SELECT w1, SUM(cb) AS c1 FROM rb GROUP BY w1
+),
+vv AS (
+  SELECT COUNT(*) AS v FROM rc
+),
+scored AS (
+  SELECT dt.doc_id, dt.cnt,
+    CAST(floor(ln(CAST(COALESCE(rb.cb, 0) + 1 AS DOUBLE)
+                  / CAST(COALESCE(rc.c1, 0) + vv.v AS DOUBLE))
+               * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS lp_micro
+  FROM dt
+  LEFT JOIN rb ON dt.w1 = rb.w1 AND dt.w2 = rb.w2
+  LEFT JOIN rc ON dt.w1 = rc.w1, vv
+),
+agg AS (
+  SELECT doc_id,
+    CAST(SUM(cnt * lp_micro) AS BIGINT) AS logprob_micro,
+    CAST(SUM(cnt) AS BIGINT) AS n_bigrams
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, logprob_micro,
+  CAST((-logprob_micro) // n_bigrams AS BIGINT) AS mean_nll_micro,
+  CAST(((-logprob_micro) // n_bigrams) // 1000000 AS BIGINT)
+    AS ppl_band
+FROM agg"""

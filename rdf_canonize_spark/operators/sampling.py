@@ -336,3 +336,98 @@ def unigram_ppl(docs, ref_predicate=None):
         F.expr("((-logprob_micro) div n_tokens) div 1000000")
         .alias("ppl_band"),
     )
+
+
+def bigram_ppl(docs, ref_predicate=None):
+    """Bigram-LM perplexity -- the ORDER-AWARE companion to
+    ``unigram_ppl`` (CCNet's production signal is an n-gram KenLM;
+    this is the n=2 member of that family, exact and portable): fit
+    add-one-smoothed conditional bigram probabilities
+    ``p(w2|w1) = (c(w1 w2)+1) / (c(w1)+V)`` on the reference subset
+    (``c(w1)`` = reference context count, ``V`` = number of distinct
+    reference contexts) and score every document by mean bigram NLL.
+    Scrambled word salad scores WORSE than fluent text with the same
+    unigram profile -- the signal unigram_ppl cannot see.
+
+    Output ``(doc_id, n_bigrams, logprob_micro, mean_nll_micro,
+    ppl_band)``; same micro-nat integerization recipe as
+    unigram_ppl, so scores are integer-exact cross-engine.  Docs
+    with fewer than 2 tokens have no bigrams and are absent.
+
+    Scale shape: bigram explode -> one (doc, w1, w2) groupBy
+    (uniform keys; localCheckpointed, 2 consumers) -> the bigram LUT
+    and context table reduce from it -> two Zipfian-keyed shuffle
+    joins back ((w1,w2) then w1) -- AQE skew-join territory, same
+    note as unigram_ppl; V rides a 1-row broadcast."""
+    from .textstats import TOKEN_PATTERN
+
+    is_ref = (
+        F.expr(ref_predicate) if ref_predicate is not None else F.lit(True)
+    )
+    toks = docs.select(
+        "doc_id",
+        is_ref.alias("__is_ref"),
+        F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit(TOKEN_PATTERN), F.lit(0)
+        ).alias("ts"),
+    )
+    pairs = toks.select(
+        "doc_id",
+        "__is_ref",
+        F.explode(
+            F.zip_with(
+                F.expr("slice(ts, 1, greatest(size(ts) - 1, 0))"),
+                F.expr("slice(ts, 2, greatest(size(ts) - 1, 0))"),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg"),
+    ).select(
+        "doc_id",
+        "__is_ref",
+        F.col("bg.w1").alias("w1"),
+        F.col("bg.w2").alias("w2"),
+    )
+    doc_big = (
+        pairs.groupBy("doc_id", "__is_ref", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
+    )
+    ref_big = (
+        doc_big.filter(F.col("__is_ref"))
+        .groupBy("w1", "w2")
+        .agg(F.sum("cnt").alias("cb"))
+    )
+    ref_ctx = ref_big.groupBy("w1").agg(F.sum("cb").alias("c1"))
+    vocab = ref_ctx.agg(F.count(F.lit(1)).alias("__V"))
+    scored = (
+        doc_big.join(ref_big, ["w1", "w2"], "left")
+        .join(ref_ctx, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "cnt",
+            F.floor(
+                F.log(
+                    (F.coalesce("cb", F.lit(0)) + 1).cast("double")
+                    / (
+                        F.coalesce("c1", F.lit(0)) + F.col("__V")
+                    ).cast("double")
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("lp_micro"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum(F.col("cnt") * F.col("lp_micro")).alias("logprob_micro"),
+        F.sum("cnt").alias("n_bigrams"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        "logprob_micro",
+        F.expr("(-logprob_micro) div n_bigrams").alias("mean_nll_micro"),
+        F.expr("((-logprob_micro) div n_bigrams) div 1000000")
+        .alias("ppl_band"),
+    )

@@ -16,6 +16,7 @@ import __spark_entry__ as entrymod
 # (the prior 70 are all green in CORRECTNESS_full_r04.json); the
 # round-3/4 priority block follows
 PRIORITY_PREFIX = [
+    "docs_bigram_ppl",
     "docs_source_profile",
     "dedup_containment_pairs",
     "docs_nfc_profile",
@@ -58,7 +59,7 @@ PRIORITY_PREFIX = [
 def test_registry_shape_and_priority_prefix():
     qs = entrymod.queries()
     names = list(qs)
-    assert len(names) == len(set(names)) == 86
+    assert len(names) == len(set(names)) == 87
     assert names[: len(PRIORITY_PREFIX)] == PRIORITY_PREFIX
     assert all(callable(fn) for fn in qs.values())
 

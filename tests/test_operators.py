@@ -1708,6 +1708,64 @@ def test_source_profile_planted(spark):
     assert s2["lang_purity"] == 0.5
 
 
+def test_bigram_ppl_order_awareness(spark):
+    """Bigram perplexity separates fluent text from scrambled word
+    salad with the IDENTICAL unigram profile (the signal unigram_ppl
+    cannot see), and matches the hand-computed add-one conditional
+    probabilities exactly; single-token docs have no bigrams and are
+    absent."""
+    import math
+
+    from rdf_canonize_spark.operators import sampling
+
+    fluent = "the cat sat on the mat"
+    salad = "mat the on sat cat the"  # same multiset of words
+    docs = spark.createDataFrame(
+        [(i, "en", fluent) for i in range(5)]
+        + [
+            (10, "de", fluent),
+            (11, "de", salad),
+            (12, "en", "solo"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in sampling.bigram_ppl(
+            docs, ref_predicate="lang = 'en'"
+        ).collect()
+    }
+    assert 12 not in got  # 1 token -> no bigrams
+    assert got[10]["n_bigrams"] == 5 and got[11]["n_bigrams"] == 5
+    # same words, scrambled order -> strictly worse bigram NLL
+    assert got[10]["mean_nll_micro"] < got[11]["mean_nll_micro"]
+
+    # hand-exact micro case: ref 'a b a b' -> cb(a,b)=2, cb(b,a)=1,
+    # c(a)=2, c(b)=1, V=2
+    docs2 = spark.createDataFrame(
+        [(1, "en", "a b a b"), (2, "de", "a b"), (3, "de", "b b")],
+        "doc_id long, lang string, text string",
+    )
+    got2 = {
+        r["doc_id"]: r
+        for r in sampling.bigram_ppl(
+            docs2, ref_predicate="lang = 'en'"
+        ).collect()
+    }
+
+    def lp(cb, c1):
+        return math.floor(math.log((cb + 1) / (c1 + 2)) * 1e6)
+
+    assert got2[2]["logprob_micro"] == lp(2, 2)          # seen (a,b)
+    assert got2[3]["logprob_micro"] == lp(0, 1)          # unseen (b,b)
+    assert got2[1]["logprob_micro"] == 2 * lp(2, 2) + lp(1, 1)
+    for r in got2.values():
+        assert r["mean_nll_micro"] == (
+            -r["logprob_micro"]
+        ) // r["n_bigrams"]
+        assert r["ppl_band"] == r["mean_nll_micro"] // 1_000_000
+
+
 def test_remove_duplicate_spans_planted(spark):
     """Span cleaning drops exactly the duplicated passage from both
     carriers (drop-all-occurrences), keeps unique text on either

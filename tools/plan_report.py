@@ -55,6 +55,10 @@ NLJ_OK = {
     # the corpus-sized score join itself is a token-keyed equi-join
     "docs_unigram_ppl": "single-row broadcast totals attach "
                         "(smoothing scalars T and V, 1 row x2)",
+    # 1-row broadcast build side: the context-vocabulary size V for
+    # the add-one conditional; both LM joins are token-keyed equi
+    "docs_bigram_ppl": "single-row broadcast totals attach "
+                       "(smoothing scalar V)",
     # 1-row broadcast build side: the corpus doc count N for the
     # smoothed idf; the score join itself is a token-keyed equi-join
     "docs_tfidf_keywords": "single-row broadcast corpus-count attach "
