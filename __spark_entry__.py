@@ -686,6 +686,18 @@ def q_bigram_ppl(spark, sf_dir):
     return sampling.bigram_ppl(docs, ref_predicate="lang = 'en'")
 
 
+def q_line_filter(spark, sf_dir):
+    """C4-style line-level cleaning: first-failing rule per line,
+    rebuilt clean text, kept-line + lorem-ipsum document gate
+    (textstats.line_filter)."""
+    from rdf_canonize_spark.operators.textstats import line_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return line_filter(docs)
+
+
 def q_source_profile(spark, sf_dir):
     """Per-source curation profile: doc count, exact-dup rate, token
     volume, majority language + purity, mean length
@@ -1056,6 +1068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # their original order (all 70 prior entries are green in
     # CORRECTNESS_full_r04.json).
     return {
+        "docs_line_filter": q_line_filter,  # round 5
         "docs_bigram_ppl": q_bigram_ppl,  # round 5
         "docs_source_profile": q_source_profile,  # round 5
         "dedup_containment_pairs": q_containment_pairs,  # round 5
@@ -1167,6 +1180,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_nfc_profile": oracle_ops.nfc_profile(),
         "dedup_containment_pairs": oracle_ops.containment_pairs(),
         "docs_source_profile": oracle_ops.source_profile(),
+        "docs_line_filter": oracle_ops.line_filter(),
         "docs_bigram_ppl": oracle_ops.bigram_ppl(
             ref_predicate="lang = 'en'"
         ),

@@ -14,8 +14,12 @@ from .similarity import (
     _hyperplanes,
 )
 from .textstats import (
+    DOC_MIN_KEPT_LINES,
     FINGERPRINT_WINDOW,
     LANG_ORDER,
+    LINE_MIN_WORDS,
+    LINE_TERMINAL_REGEX,
+    LINE_WORD_REGEX,
     NON_WORD_CLASS,
     STOPWORDS,
     TOKEN_PATTERN,
@@ -1784,6 +1788,50 @@ SELECT b.source, b.n_docs,
   round(CAST(m.cnt AS DOUBLE) / m.n_all, 6) AS lang_purity,
   CAST(b.total_chars // b.n_docs AS BIGINT) AS mean_chars
 FROM base b JOIN major m USING (source)"""
+
+
+def line_filter():
+    """Mirrors textstats.line_filter: list_transform line tagging with
+    the fixed rule ladder (short -> no_terminal -> brace ->
+    javascript), struct-field lambdas, INT casts to match Spark
+    ``size()``; trim() strips spaces only on both engines; the
+    terminal-punctuation class's single quote is SQL-doubled."""
+    term = LINE_TERMINAL_REGEX.replace("'", "''")
+    return f"""WITH tl AS (
+  SELECT doc_id,
+    contains(lower(text), 'lorem ipsum') AS lorem_ipsum,
+    list_transform(string_split(text, chr(10)), l -> struct_pack(
+      line := l,
+      reason := CASE
+        WHEN len(regexp_extract_all(trim(l), '{LINE_WORD_REGEX}'))
+             < {LINE_MIN_WORDS} THEN 'short'
+        WHEN NOT regexp_matches(trim(l), '{term}')
+             THEN 'no_terminal'
+        WHEN contains(trim(l), '{{') OR contains(trim(l), '}}')
+             THEN 'brace'
+        WHEN contains(lower(trim(l)), 'javascript') THEN 'javascript'
+        ELSE NULL END)) AS tl
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(tl) AS INT) AS n_lines,
+  CAST(len(list_filter(tl, t -> t.reason IS NULL)) AS INT) AS n_kept,
+  CAST(len(list_filter(tl, t -> t.reason = 'short')) AS INT)
+    AS n_short,
+  CAST(len(list_filter(tl, t -> t.reason = 'no_terminal')) AS INT)
+    AS n_no_terminal,
+  CAST(len(list_filter(tl, t -> t.reason = 'brace')) AS INT)
+    AS n_brace,
+  CAST(len(list_filter(tl, t -> t.reason = 'javascript')) AS INT)
+    AS n_javascript,
+  lorem_ipsum,
+  (NOT lorem_ipsum)
+    AND len(list_filter(tl, t -> t.reason IS NULL))
+        >= {DOC_MIN_KEPT_LINES} AS doc_kept,
+  COALESCE(array_to_string(
+    list_transform(list_filter(tl, t -> t.reason IS NULL),
+                   t -> t.line), chr(10)), '') AS clean_text
+FROM tl"""
 
 
 def bigram_ppl(ref_predicate=None):

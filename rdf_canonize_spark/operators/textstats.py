@@ -608,6 +608,90 @@ def nfc_profile(docs):
     )
 
 
+# C4 line-level cleaning rules (Raffel et al. 2020 "Exploring the
+# Limits of Transfer Learning" §2.2 -- the C4 heuristics, applied per
+# LINE rather than per page where the paper does): a line survives only
+# if it has >= LINE_MIN_WORDS words, ends in terminal punctuation,
+# contains no curly brace (code), and does not mention "javascript"
+# (boilerplate browser warnings).  A document survives only if it keeps
+# >= DOC_MIN_KEPT_LINES lines and never says "lorem ipsum".  Rule order
+# is FIXED (short -> no_terminal -> brace -> javascript) so the
+# first-failing reason is deterministic cross-engine.
+LINE_MIN_WORDS = 5
+DOC_MIN_KEPT_LINES = 3
+# terminal punctuation: . ! ? " '  (quote chars via chr() -- CLAUDE.md
+# unicode file-write constraint)
+LINE_TERMINAL_REGEX = "[.!?" + chr(34) + chr(39) + "]$"
+LINE_WORD_REGEX = "[^" + WS_CHARS + "]+"
+LINE_RULES = ("short", "no_terminal", "brace", "javascript")
+
+
+def line_filter(docs, min_words=LINE_MIN_WORDS,
+                min_kept=DOC_MIN_KEPT_LINES):
+    """C4-style line-level cleaning: tag every line with its
+    first-failing rule (or NULL = kept), rebuild the cleaned text from
+    the kept lines, and gate the document on a minimum kept-line count
+    plus the page-level "lorem ipsum" rule.  Output ``(doc_id,
+    n_lines, n_kept, n_short, n_no_terminal, n_brace, n_javascript,
+    lorem_ipsum, doc_kept, clean_text)``.
+
+    Rules evaluate on the space-trimmed line; ``clean_text`` keeps the
+    ORIGINAL line bytes (joined with newline) so cleaning never
+    rewrites surviving content.
+
+    Scale shape: pure per-row Catalyst higher-order functions (split /
+    transform / filter / array_join) -- ZERO shuffles, ZERO explodes,
+    no Python.  At 100 TB this is a map-only stage that rides whatever
+    partitioning the scan provides; column pruning via the explicit
+    select."""
+
+    def reason(l):
+        t = F.trim(l)
+        wc = F.size(
+            F.regexp_extract_all(t, F.lit(LINE_WORD_REGEX), F.lit(0))
+        )
+        return (
+            F.when(wc < min_words, F.lit("short"))
+            .when(~t.rlike(LINE_TERMINAL_REGEX), F.lit("no_terminal"))
+            .when(t.contains("{") | t.contains("}"), F.lit("brace"))
+            .when(F.lower(t).contains("javascript"), F.lit("javascript"))
+        )
+
+    tagged = F.transform(
+        F.split(F.col("text"), chr(10)),
+        lambda l: F.struct(l.alias("line"), reason(l).alias("reason")),
+    )
+    out = docs.select(
+        "doc_id",
+        F.lower(F.col("text")).contains("lorem ipsum").alias(
+            "lorem_ipsum"
+        ),
+        tagged.alias("__tl"),
+    )
+    kept = F.filter(F.col("__tl"), lambda t: t["reason"].isNull())
+    def rule_count(rule):
+        # a closure, NOT a default-arg lambda: a 2-parameter lambda
+        # would make F.filter bind the second arg to the array INDEX
+        return F.size(
+            F.filter(F.col("__tl"), lambda t: t["reason"] == rule)
+        ).alias(f"n_{rule}")
+
+    rule_counts = [rule_count(r) for r in LINE_RULES]
+    return out.select(
+        "doc_id",
+        F.size("__tl").alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        *rule_counts,
+        "lorem_ipsum",
+        (
+            (~F.col("lorem_ipsum")) & (F.size(kept) >= min_kept)
+        ).alias("doc_kept"),
+        F.array_join(
+            F.transform(kept, lambda t: t["line"]), chr(10)
+        ).alias("clean_text"),
+    )
+
+
 def source_profile(docs):
     """Per-source (domain/crawl-feed) curation profile -- the
     RefinedWeb/C4-style reputation rollup that drives source-level

@@ -1708,6 +1708,65 @@ def test_source_profile_planted(spark):
     assert s2["lang_purity"] == 0.5
 
 
+def test_line_filter_planted_and_duckdb_parity(spark):
+    """C4 line cleaning: each rule fires on its planted line with the
+    fixed first-fail order (short -> no_terminal -> brace ->
+    javascript), clean_text rebuilds ONLY kept lines with original
+    bytes, the document gate needs >= 3 kept lines AND no
+    "lorem ipsum" anywhere, and the plan is shuffle-free.  The same
+    planted rows run through the DuckDB oracle (the synthetic corpus
+    has no braces / javascript / lorem lines, so the contract row
+    alone would not exercise every rule)."""
+    import duckdb
+
+    from rdf_canonize_spark.operators import oracle_ops
+    from rdf_canonize_spark.operators.textstats import line_filter
+    from rdf_canonize_spark.plans.checks import assert_no_shuffle
+
+    good = "this is a perfectly normal sentence with many words."
+    nl = chr(10)
+    rows = [
+        (1, nl.join([good, good, good])),
+        (2, nl.join(["tiny line.", good])),
+        (3, "this line has plenty of words but no terminal punct"),
+        (4, "this line contains a brace { and ends properly."),
+        (5, "please enable javascript to view this page content."),
+        (6, nl.join([good, good, good,
+                     "lorem ipsum dolor sit amet consectetur elit."])),
+        (7, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in line_filter(docs).collect()}
+
+    assert got[1]["n_lines"] == 3 and got[1]["n_kept"] == 3
+    assert got[1]["doc_kept"] and got[1]["clean_text"] == rows[0][1]
+    assert got[2]["n_short"] == 1 and got[2]["n_kept"] == 1
+    assert not got[2]["doc_kept"] and got[2]["clean_text"] == good
+    assert got[3]["n_no_terminal"] == 1 and got[3]["n_kept"] == 0
+    assert got[4]["n_brace"] == 1          # brace outranks javascript
+    assert got[5]["n_javascript"] == 1
+    assert got[6]["n_kept"] == 4 and got[6]["lorem_ipsum"]
+    assert not got[6]["doc_kept"]          # lorem gate despite 4 kept
+    assert got[7]["n_lines"] == 1 and got[7]["n_short"] == 1
+    assert got[7]["clean_text"] == ""
+
+    # repartition invariance + shuffle-free plan (pure per-row map)
+    assert sorted(map(tuple, line_filter(docs).collect())) == sorted(
+        map(tuple, line_filter(docs.repartition(5)).collect())
+    )
+    assert_no_shuffle(line_filter(docs), "line_filter")
+
+    # cross-engine parity on the same planted rows
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    oracle = {
+        r[0]: r for r in con.execute(oracle_ops.line_filter()).fetchall()
+    }
+    for d, r in got.items():
+        assert tuple(r) == oracle[d], f"doc {d} diverges from DuckDB"
+
+
 def test_bigram_ppl_order_awareness(spark):
     """Bigram perplexity separates fluent text from scrambled word
     salad with the IDENTICAL unigram profile (the signal unigram_ppl
