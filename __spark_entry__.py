@@ -698,6 +698,17 @@ def q_line_filter(spark, sf_dir):
     return line_filter(docs)
 
 
+def q_inverted_index(spark, sf_dir):
+    """Inverted-index construction: per-token df / total count and a
+    rank-capped ascending posting list (textstats.inverted_index)."""
+    from rdf_canonize_spark.operators.textstats import inverted_index
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return inverted_index(docs)
+
+
 def q_source_profile(spark, sf_dir):
     """Per-source curation profile: doc count, exact-dup rate, token
     volume, majority language + purity, mean length
@@ -1068,6 +1079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # their original order (all 70 prior entries are green in
     # CORRECTNESS_full_r04.json).
     return {
+        "docs_inverted_index": q_inverted_index,  # round 5
         "docs_line_filter": q_line_filter,  # round 5
         "docs_bigram_ppl": q_bigram_ppl,  # round 5
         "docs_source_profile": q_source_profile,  # round 5
@@ -1181,6 +1193,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_containment_pairs": oracle_ops.containment_pairs(),
         "docs_source_profile": oracle_ops.source_profile(),
         "docs_line_filter": oracle_ops.line_filter(),
+        "docs_inverted_index": oracle_ops.inverted_index(),
         "docs_bigram_ppl": oracle_ops.bigram_ppl(
             ref_predicate="lang = 'en'"
         ),

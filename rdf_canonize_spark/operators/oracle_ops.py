@@ -1834,6 +1834,38 @@ SELECT doc_id,
 FROM tl"""
 
 
+def inverted_index(max_postings=16):
+    """Mirrors textstats.inverted_index: shared tokenizer, rank-capped
+    posting lists ordered by doc_id, HUGEINT sums cast to BIGINT, INT
+    cast matching Spark ``size()``."""
+    return f"""WITH tf AS MATERIALIZED (
+  SELECT token, doc_id, COUNT(*) AS n FROM (
+    SELECT doc_id,
+      unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))
+        AS token
+    FROM documents
+  ) GROUP BY token, doc_id
+),
+stats AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+    CAST(SUM(n) AS BIGINT) AS total_count
+  FROM tf GROUP BY token
+),
+capped AS (
+  SELECT token,
+    CAST(COUNT(*) AS INT) AS n_postings,
+    string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+      AS postings
+  FROM (
+    SELECT token, doc_id,
+      ROW_NUMBER() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+    FROM tf
+  ) WHERE rn <= {max_postings} GROUP BY token
+)
+SELECT token, df, total_count, n_postings, postings
+FROM stats JOIN capped USING (token)"""
+
+
 def bigram_ppl(ref_predicate=None):
     """Mirrors sampling.bigram_ppl: zipped-unnest bigram explode
     (DuckDB zips parallel unnests positionally), add-one conditional

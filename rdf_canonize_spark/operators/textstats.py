@@ -692,6 +692,66 @@ def line_filter(docs, min_words=LINE_MIN_WORDS,
     )
 
 
+# posting-list cap: a web-scale index never materializes the full
+# posting list of a stopword in one row -- it keeps the df/count
+# statistics exact and truncates the stored list deterministically
+INDEX_MAX_POSTINGS = 16
+
+
+def inverted_index(docs, max_postings=INDEX_MAX_POSTINGS):
+    """Inverted-index construction (token -> posting list), the
+    retrieval-side artifact of a training corpus (decontamination
+    lookups, attribution, corpus search): per token the document
+    frequency, total occurrence count, and the first ``max_postings``
+    doc_ids ascending as a comma-joined string.  Output ``(token, df,
+    total_count, n_postings, postings)``.
+
+    Scale shape: tokenize -> (token, doc_id) tf groupBy (uniform
+    composite keys) -> token-keyed stats aggregate (map-side
+    combinable) + a token-partitioned rank window that TRUNCATES the
+    posting list to ``max_postings`` BEFORE any list is materialized
+    -- a stopword's posting list never exists in memory, only its
+    counts do.  Token keys are Zipfian, so the rank window and the
+    final token join are the textbook AQE skew cases (same note as
+    unigram_ppl / tfidf_keywords); the cap bounds every collected
+    array at ``max_postings`` rows."""
+    from pyspark.sql import Window
+
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit(TOKEN_PATTERN), F.lit(0)
+                )
+            ).alias("token"),
+        )
+        .groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    stats = tf.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("n").alias("total_count"),
+    )
+    w = Window.partitionBy("token").orderBy("doc_id")
+    capped = (
+        tf.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= max_postings)
+        .groupBy("token")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("__p"))
+        .select(
+            "token",
+            F.size("__p").alias("n_postings"),
+            F.array_join(
+                F.transform(F.col("__p"), lambda d: d.cast("string")),
+                ",",
+            ).alias("postings"),
+        )
+    )
+    return stats.join(capped, "token")
+
+
 def source_profile(docs):
     """Per-source (domain/crawl-feed) curation profile -- the
     RefinedWeb/C4-style reputation rollup that drives source-level

@@ -1767,6 +1767,42 @@ def test_line_filter_planted_and_duckdb_parity(spark):
         assert tuple(r) == oracle[d], f"doc {d} diverges from DuckDB"
 
 
+def test_inverted_index_planted(spark):
+    """Inverted index: df counts documents (not occurrences),
+    total_count counts occurrences, posting lists are ascending
+    doc_ids and TRUNCATED at max_postings while the stats stay exact
+    over the full corpus."""
+    from rdf_canonize_spark.operators.textstats import inverted_index
+
+    docs = spark.createDataFrame(
+        [(i, "common word" + (" rare" if i == 10 else "")
+          + (" twice twice" if i == 2 else ""))
+         for i in range(1, 13)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["token"]: r
+        for r in inverted_index(docs, max_postings=5).collect()
+    }
+    c = got["common"]
+    assert c["df"] == 12 and c["total_count"] == 12
+    assert c["n_postings"] == 5                    # capped
+    assert c["postings"] == "1,2,3,4,5"            # ascending, capped
+    t = got["twice"]
+    assert t["df"] == 1 and t["total_count"] == 2  # occurrences
+    assert t["postings"] == "2"
+    assert got["rare"]["postings"] == "10"
+    # repartition invariance
+    assert sorted(
+        map(tuple, inverted_index(docs, max_postings=5).collect())
+    ) == sorted(
+        map(
+            tuple,
+            inverted_index(docs.repartition(7), max_postings=5).collect(),
+        )
+    )
+
+
 def test_bigram_ppl_order_awareness(spark):
     """Bigram perplexity separates fluent text from scrambled word
     salad with the IDENTICAL unigram profile (the signal unigram_ppl
