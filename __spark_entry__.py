@@ -698,6 +698,17 @@ def q_line_filter(spark, sf_dir):
     return line_filter(docs)
 
 
+def q_bpe_merges(spark, sf_dir):
+    """BPE tokenizer training: the top-6 learned symbol-pair merges
+    with deterministic ties (textstats.bpe_merges)."""
+    from rdf_canonize_spark.operators.textstats import bpe_merges
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return bpe_merges(docs)
+
+
 def q_inverted_index(spark, sf_dir):
     """Inverted-index construction: per-token df / total count and a
     rank-capped ascending posting list (textstats.inverted_index)."""
@@ -1079,6 +1090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # their original order (all 70 prior entries are green in
     # CORRECTNESS_full_r04.json).
     return {
+        "docs_bpe_merges": q_bpe_merges,  # round 5
         "docs_inverted_index": q_inverted_index,  # round 5
         "docs_line_filter": q_line_filter,  # round 5
         "docs_bigram_ppl": q_bigram_ppl,  # round 5
@@ -1194,6 +1206,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_source_profile": oracle_ops.source_profile(),
         "docs_line_filter": oracle_ops.line_filter(),
         "docs_inverted_index": oracle_ops.inverted_index(),
+        "docs_bpe_merges": oracle_ops.bpe_merges(),
         "docs_bigram_ppl": oracle_ops.bigram_ppl(
             ref_predicate="lang = 'en'"
         ),

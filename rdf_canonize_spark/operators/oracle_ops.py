@@ -1866,6 +1866,61 @@ SELECT token, df, total_count, n_postings, postings
 FROM stats JOIN capped USING (token)"""
 
 
+def bpe_merges(n_merges=6):
+    """Mirrors textstats.bpe_merges with the merge loop UNROLLED as
+    chained CTEs (the PageRank recipe): per round, a zipped-unnest
+    adjacent-pair count over the guard-wrapped symbol strings, a
+    deterministic top-1 (count DESC, w1 ASC, w2 ASC), and a 1-row
+    LEFT JOIN ON TRUE applying the plain-replace merge.  Base and
+    round CTEs are MATERIALIZED (each is referenced twice; the fd
+    gotcha).  replace() is left-to-right non-overlapping on both
+    engines, which with the ``(sym)`` guards is exact BPE."""
+    parts = [
+        f"""WITH w0 AS MATERIALIZED (
+  SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+    array_to_string(list_transform(regexp_extract_all(word, '.'),
+      c -> '(' || c || ')'), ' ') || ' (</w>)' AS seq
+  FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))
+      AS word
+    FROM documents
+  ) WHERE regexp_matches(word, '^[a-z]+$')
+  GROUP BY word
+)"""
+    ]
+    for i in range(1, n_merges + 1):
+        prev = f"w{i - 1}"
+        parts.append(
+            f""",
+p{i} AS (
+  SELECT w1, w2, CAST(SUM(cnt) AS BIGINT) AS pair_count FROM (
+    SELECT cnt,
+      unnest(ss[1:greatest(len(ss) - 1, 0)]) AS w1,
+      unnest(ss[2:len(ss)]) AS w2
+    FROM (SELECT cnt, string_split(seq, ' ') AS ss FROM {prev})
+  ) GROUP BY w1, w2
+),
+t{i} AS MATERIALIZED (
+  SELECT w1, w2, pair_count FROM p{i}
+  ORDER BY pair_count DESC, w1 ASC, w2 ASC LIMIT 1
+),
+w{i} AS MATERIALIZED (
+  SELECT w.cnt,
+    CASE WHEN t.w1 IS NULL THEN w.seq
+      ELSE replace(w.seq, t.w1 || ' ' || t.w2,
+        substr(t.w1, 1, length(t.w1) - 1) || substr(t.w2, 2))
+    END AS seq
+  FROM {prev} w LEFT JOIN t{i} t ON TRUE
+)"""
+        )
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {i} AS merge_rank, translate(w1, '()', '') AS w1,"
+        f" translate(w2, '()', '') AS w2, pair_count FROM t{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return "".join(parts) + "\n" + selects
+
+
 def bigram_ppl(ref_predicate=None):
     """Mirrors sampling.bigram_ppl: zipped-unnest bigram explode
     (DuckDB zips parallel unnests positionally), add-one conditional

@@ -1803,6 +1803,83 @@ def test_inverted_index_planted(spark):
     )
 
 
+def _ref_bpe(word_counts, n_merges):
+    """Reference BPE (Sennrich et al. 2016) on a word-frequency dict:
+    per round count adjacent symbol pairs weighted by word count, pick
+    (count DESC, pair ASC), merge left-to-right non-overlapping."""
+    import collections
+
+    vocab = {
+        tuple(list(w) + ["</w>"]): c for w, c in word_counts.items()
+    }
+    merges = []
+    for i in range(1, n_merges + 1):
+        pairs = collections.Counter()
+        for sym, c in vocab.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        mx = max(pairs.values())
+        a, b = min(p for p, c in pairs.items() if c == mx)
+        merges.append((i, a, b, mx))
+        new_vocab = collections.Counter()
+        for sym, c in vocab.items():
+            out, j = [], 0
+            while j < len(sym):
+                if j + 1 < len(sym) and sym[j] == a and sym[j + 1] == b:
+                    out.append(a + b)
+                    j += 2
+                else:
+                    out.append(sym[j])
+                    j += 1
+            new_vocab[tuple(out)] += c
+        vocab = dict(new_vocab)
+    return merges
+
+
+def test_bpe_merges_matches_reference_bpe(spark):
+    """The Spark BPE trainer reproduces a direct Python implementation
+    of Sennrich-style BPE exactly, including the two replace()-trap
+    cases the guard wrapping exists for: same-symbol runs ('aaaa'
+    merges left-to-right non-overlapping) and adjacent occurrences of
+    the winning pair ('low low' inside one word cannot happen, but
+    'lowlow' exercises back-to-back pair sites), plus count-tie
+    determinism.  The same corpus also runs through the DuckDB
+    unrolled-CTE oracle."""
+    import collections
+
+    import duckdb
+
+    from rdf_canonize_spark.operators import oracle_ops
+    from rdf_canonize_spark.operators.textstats import bpe_merges
+
+    # classic example + pathological shapes; numbers chosen so several
+    # rounds have count ties
+    words = (
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+        + ["aaaa"] * 4 + ["lowlow"] * 2
+    )
+    word_counts = collections.Counter(words)
+    rows = [(i, " ".join(words[i::3])) for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    expected = _ref_bpe(word_counts, 6)
+    got = sorted(
+        tuple(r) for r in bpe_merges(docs, n_merges=6).collect()
+    )
+    assert got == sorted(expected)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    oracle = sorted(
+        tuple(r)
+        for r in con.execute(oracle_ops.bpe_merges(6)).fetchall()
+    )
+    assert oracle == sorted(expected)
+
+
 def test_bigram_ppl_order_awareness(spark):
     """Bigram perplexity separates fluent text from scrambled word
     salad with the IDENTICAL unigram profile (the signal unigram_ppl
