@@ -698,6 +698,62 @@ def q_line_filter(spark, sf_dir):
     return line_filter(docs)
 
 
+def q_media_ahash(spark, sf_dir):
+    """Perceptual image hashing through the Arrow kernel: real aHash
+    for decodable rasters, deterministic sha256-prefix fallback for
+    the html corpus (multimodal.image_ahash)."""
+    from rdf_canonize_spark.operators import multimodal
+
+    pages = pages_from_documents(spark, sf_dir)
+    return multimodal.image_ahash(multimodal.attach_media(pages))
+
+
+def q_media_ahash_near_dups(spark, sf_dir):
+    """Banded-Hamming near-duplicate image pairs
+    (multimodal.ahash_near_dups) over a synthetic hash table derived
+    from the corpus: every doc's md5-prefix code, an exact twin for
+    doc_id %% 7, and a 1-bit-flipped twin for doc_id %% 5 (the
+    hex-digit low-bit flip is the translate trick, SQL-reproducible)
+    -- so the exact pigeonhole guarantee is exercised at Hamming 0
+    and 1 against random 64-bit non-pairs."""
+    from pyspark.sql import functions as F
+
+    from rdf_canonize_spark.operators.multimodal import ahash_near_dups
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    h = F.md5("text")
+    flip = F.concat(
+        F.substring(h, 1, 4),
+        F.translate(
+            F.substring(h, 5, 1),
+            "0123456789abcdef",
+            "1032547698badcfe",
+        ),
+        F.substring(h, 6, 11),
+    )
+    base = docs.select(
+        F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias(
+            "url"
+        ),
+        F.substring(h, 1, 16).alias("ahash"),
+    )
+    near = docs.filter(F.col("doc_id") % 5 == 0).select(
+        F.concat(F.lit("near:"), F.col("doc_id").cast("string")).alias(
+            "url"
+        ),
+        flip.alias("ahash"),
+    )
+    copy = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.concat(F.lit("copy:"), F.col("doc_id").cast("string")).alias(
+            "url"
+        ),
+        F.substring(h, 1, 16).alias("ahash"),
+    )
+    return ahash_near_dups(base.unionByName(near).unionByName(copy))
+
+
 def q_bpe_merges(spark, sf_dir):
     """BPE tokenizer training: the top-6 learned symbol-pair merges
     with deterministic ties (textstats.bpe_merges)."""
@@ -1090,6 +1146,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # their original order (all 70 prior entries are green in
     # CORRECTNESS_full_r04.json).
     return {
+        "media_ahash": q_media_ahash,  # round 5
+        "media_ahash_near_dups": q_media_ahash_near_dups,  # round 5
         "docs_bpe_merges": q_bpe_merges,  # round 5
         "docs_inverted_index": q_inverted_index,  # round 5
         "docs_line_filter": q_line_filter,  # round 5
@@ -1207,6 +1265,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_line_filter": oracle_ops.line_filter(),
         "docs_inverted_index": oracle_ops.inverted_index(),
         "docs_bpe_merges": oracle_ops.bpe_merges(),
+        "media_ahash": oracle_ops.media_ahash(),
+        "media_ahash_near_dups": oracle_ops.ahash_near_dups(),
         "docs_bigram_ppl": oracle_ops.bigram_ppl(
             ref_predicate="lang = 'en'"
         ),

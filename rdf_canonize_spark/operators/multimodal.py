@@ -63,11 +63,12 @@ def attach_media(pages_df):
     )
 
 
-def _parse_bmp(payload: bytes):
+def _bmp_pixels(payload: bytes):
     """Pure-Python decode of an uncompressed 24-bit BMP
-    (BITMAPINFOHEADER, BI_RGB): returns (width, height, mean_r,
-    mean_g, mean_b).  Raises ValueError on a malformed or unsupported
-    BMP (truncated header, compressed, non-24-bit)."""
+    (BITMAPINFOHEADER, BI_RGB): returns (width, height,
+    arr[height, width, 3] uint8 RGB, top-down row order).  Raises
+    ValueError on a malformed or unsupported BMP (truncated header,
+    compressed, non-24-bit)."""
     import struct
 
     import numpy as np
@@ -94,18 +95,25 @@ def _parse_bmp(payload: bytes):
         np.frombuffer(payload, dtype=np.uint8,
                       count=stride * rows, offset=data_off)
         .reshape(rows, stride)[:, : width * 3]
-        .reshape(-1, 3)
-        .astype(np.float64)
+        .reshape(rows, width, 3)[:, :, ::-1]  # BMP stores BGR
     )
-    # BMP stores BGR
-    means = px.mean(axis=0)
-    return width, rows, float(means[2]), float(means[1]), float(means[0])
+    if height > 0:  # positive height = bottom-up storage
+        px = px[::-1]
+    return width, rows, px
 
 
-def _parse_ppm(payload: bytes):
+def _parse_bmp(payload: bytes):
+    """Mean-pixel wrapper over ``_bmp_pixels``: returns (width,
+    height, mean_r, mean_g, mean_b)."""
+    width, rows, px = _bmp_pixels(payload)
+    means = px.reshape(-1, 3).astype("float64").mean(axis=0)
+    return width, rows, float(means[0]), float(means[1]), float(means[2])
+
+
+def _ppm_pixels(payload: bytes):
     """Pure-Python decode of a binary PPM (P6, maxval <= 255):
-    returns (width, height, mean_r, mean_g, mean_b).  Raises
-    ValueError on malformed input.  Header = 'P6', then
+    returns (width, height, arr[height, width, 3] uint8 RGB, maxval).
+    Raises ValueError on malformed input.  Header = 'P6', then
     whitespace/comment-separated width height maxval, one whitespace,
     then raw RGB."""
     import numpy as np
@@ -139,12 +147,19 @@ def _parse_ppm(payload: bytes):
     need = width * height * 3
     if len(payload) - pos < need:
         raise ValueError("PPM truncated pixel data")
-    px = (
-        np.frombuffer(payload, dtype=np.uint8, count=need, offset=pos)
-        .reshape(-1, 3)
-        .astype(np.float64)
+    px = np.frombuffer(
+        payload, dtype=np.uint8, count=need, offset=pos
+    ).reshape(height, width, 3)
+    return width, height, px, maxval
+
+
+def _parse_ppm(payload: bytes):
+    """Mean-pixel wrapper over ``_ppm_pixels``: returns (width,
+    height, mean_r, mean_g, mean_b), scaled to a 255 maxval."""
+    width, height, px, maxval = _ppm_pixels(payload)
+    means = px.reshape(-1, 3).astype("float64").mean(axis=0) * (
+        255.0 / maxval
     )
-    means = px.mean(axis=0) * (255.0 / maxval)
     return width, height, float(means[0]), float(means[1]), float(means[2])
 
 
@@ -309,3 +324,156 @@ def sample_frames(media_df, frame_size=FRAME_SIZE, every=FRAME_EVERY):
             yield pd.DataFrame(out)
 
     return media_df.mapInPandas(run, FRAME_SCHEMA)
+
+
+# perceptual-hash parameters: an 8x8 average hash is 64 bits = 16 hex
+# chars, banded into 4 x 16-bit bands for the candidate join.  With 4
+# bands, two hashes within Hamming distance 3 MUST agree on at least
+# one band (pigeonhole), so the banded join is EXACT -- zero recall
+# loss -- up to AHASH_MAX_HAMMING = 3.
+AHASH_GRID = 8
+AHASH_BANDS = 4
+AHASH_MAX_HAMMING = 3
+
+AHASH_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("ahash", StringType(), True),
+        StructField("decode_status", StringType(), True),
+    ]
+)
+
+
+def _ahash_hex(px, grid=AHASH_GRID):
+    """Average hash of a decoded raster: grayscale, nearest-neighbor
+    sample to ``grid x grid`` (always valid, even below grid size),
+    threshold at the sample mean, bits row-major MSB-first -> 16 hex
+    chars.  Deterministic pure function of the pixel array."""
+    import numpy as np
+
+    h, w = px.shape[0], px.shape[1]
+    gray = px.astype(np.float64).mean(axis=2)
+    ri = ((np.arange(grid) + 0.5) * h / grid).astype(int)
+    ci = ((np.arange(grid) + 0.5) * w / grid).astype(int)
+    samp = gray[np.ix_(ri, ci)]
+    bits = (samp >= samp.mean()).flatten()
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    return format(val, "0%dx" % (grid * grid // 4))
+
+
+def image_ahash(media_df, grid=AHASH_GRID):
+    """Perceptual image hashing for near-duplicate detection: a REAL
+    average hash (grayscale -> grid sample -> mean threshold) for
+    payloads the pure-Python raster decoders cover (24-bit BMP, P6
+    PPM), and a deterministic content-hash fallback (first 16 hex of
+    the payload sha256 -- the exact-dup key, recomputable in SQL) for
+    everything else.  Output ``(url, ahash, decode_status)``.
+
+    Same Arrow-batched ``mapInPandas`` shape as the feature extractor:
+    payload bytes cross the JVM boundary once per batch, no shuffle,
+    embarrassingly parallel."""
+
+    def run(batches):
+        for pdf in batches:
+            out = {"url": [], "ahash": [], "decode_status": []}
+            for url, payload in zip(pdf["url"].tolist(),
+                                    pdf["media"].tolist()):
+                payload = bytes(payload) if payload is not None else b""
+                try:
+                    if payload[:2] == b"BM":
+                        _, _, px = _bmp_pixels(payload)
+                        ah, status = _ahash_hex(px, grid), "decoded"
+                    elif payload[:2] == b"P6":
+                        _, _, px, _ = _ppm_pixels(payload)
+                        ah, status = _ahash_hex(px, grid), "decoded"
+                    else:
+                        ah = hashlib.sha256(payload).hexdigest()[:16]
+                        status = "stubbed"
+                except ValueError:
+                    ah = hashlib.sha256(payload).hexdigest()[:16]
+                    status = "decode-error"
+                out["url"].append(url)
+                out["ahash"].append(ah)
+                out["decode_status"].append(status)
+            yield pd.DataFrame(out)
+
+    return media_df.mapInPandas(run, AHASH_SCHEMA)
+
+
+def ahash_near_dups(hashes_df, max_hamming=AHASH_MAX_HAMMING):
+    """Near-duplicate image pairs from a ``(url, ahash)`` table: band
+    each 64-bit hash into 4 x 16-bit hex bands, equi-join on
+    (band_idx, band_value), then verify exact Hamming distance with
+    per-band bit_count(xor) -- all Catalyst, no Python.  Output
+    ``(url_a, url_b, hamming)``, ``url_a < url_b``.
+
+    EXACT for ``max_hamming <= AHASH_BANDS - 1``: if every band
+    differed the distance would be >= 4 (pigeonhole), so every
+    qualifying pair shares a band and survives the candidate join --
+    this is banded LSH with zero recall loss, the same
+    bound-the-candidates shape as the MinHash path (dedup.lsh_bands).
+
+    Scale shape: one explode (4 rows/hash) -> one (band, value)
+    equi-join -- candidates are bounded by band-bucket occupancy,
+    never all-pairs -- -> distinct -> a per-pair O(1) verify.  Band
+    values spread uniformly for real perceptual hashes; a pathological
+    bucket (e.g. the all-black-images band) is the standard AQE
+    skew-join case."""
+    if max_hamming >= AHASH_BANDS:
+        raise ValueError(
+            "banded candidates are exact only for max_hamming <= "
+            f"{AHASH_BANDS - 1}; got {max_hamming}"
+        )
+    bands = hashes_df.select(
+        "url",
+        "ahash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("b"),
+                        F.substring("ahash", 1 + 4 * i, 4).alias("v"),
+                    )
+                    for i in range(AHASH_BANDS)
+                ]
+            )
+        ).alias("bd"),
+    ).select(
+        "url", "ahash", F.col("bd.b").alias("b"), F.col("bd.v").alias("v")
+    )
+    left = bands.select(
+        F.col("url").alias("url_a"),
+        F.col("ahash").alias("ahash_a"),
+        "b",
+        "v",
+    )
+    right = bands.select(
+        F.col("url").alias("url_b"),
+        F.col("ahash").alias("ahash_b"),
+        "b",
+        "v",
+    )
+    cand = (
+        left.join(right, ["b", "v"])
+        .filter(F.col("url_a") < F.col("url_b"))
+        .select("url_a", "url_b", "ahash_a", "ahash_b")
+        .distinct()
+    )
+    hamming = None
+    for i in range(AHASH_BANDS):
+        va = F.conv(
+            F.substring("ahash_a", 1 + 4 * i, 4), 16, 10
+        ).cast("int")
+        vb = F.conv(
+            F.substring("ahash_b", 1 + 4 * i, 4), 16, 10
+        ).cast("int")
+        term = F.bit_count(va.bitwiseXOR(vb))
+        hamming = term if hamming is None else hamming + term
+    return (
+        cand.select(
+            "url_a", "url_b", hamming.cast("int").alias("hamming")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

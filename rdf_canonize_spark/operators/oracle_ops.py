@@ -430,6 +430,86 @@ SELECT url,
 FROM pages"""
 
 
+def media_ahash():
+    """Mirrors multimodal.image_ahash on the html corpus: every
+    payload takes the deterministic sha256-prefix fallback (no raster
+    magic bytes), which is SQL-derivable from the page construction.
+    The REAL decode path is pinned by the planted-BMP tests."""
+    from ..pipeline.pages import duckdb_statements_sql
+
+    stmts = duckdb_statements_sql("k")
+    return f"""WITH docs AS (
+  SELECT doc_id AS k, text AS base_text FROM documents
+),
+pages AS (
+  SELECT
+    'https://crawl.example.org/p/' || lpad(CAST(k AS VARCHAR), 12, '0')
+      AS url,
+    '<html><body><p>' || base_text || ' ' || {stmts}
+      || '</p></body></html>' AS html_str
+  FROM docs
+)
+SELECT url,
+  substr(sha256(html_str), 1, 16) AS ahash,
+  'stubbed' AS decode_status
+FROM pages"""
+
+
+def _hexband_int(col, band):
+    """SQL for the 16-bit integer value of 4 hex chars at band
+    ``band`` (0-based) of column ``col`` -- the documented
+    strpos('0123456789abcdef', c) - 1 hex-digit recipe."""
+    terms = []
+    for j in range(4):
+        pos = 4 * band + 1 + j
+        d = f"(strpos('0123456789abcdef', substr({col}, {pos}, 1)) - 1)"
+        mult = 16 ** (3 - j)
+        terms.append(f"{mult} * {d}" if mult > 1 else d)
+    return "(" + " + ".join(terms) + ")"
+
+
+def ahash_near_dups(max_hamming=3):
+    """Mirrors __spark_entry__.q_media_ahash_near_dups +
+    multimodal.ahash_near_dups: the synthetic hash table (md5-prefix
+    base, translate-trick 1-bit-flip twins, exact twins), 4 x 16-bit
+    banding, DISTINCT candidates, per-band bit_count(xor) Hamming."""
+    ham = " + ".join(
+        f"bit_count(xor({_hexband_int('ahash_a', i)},"
+        f" {_hexband_int('ahash_b', i)}))"
+        for i in range(4)
+    )
+    return f"""WITH hashes AS MATERIALIZED (
+  SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS url,
+    substr(md5(text), 1, 16) AS ahash
+  FROM documents
+  UNION ALL
+  SELECT 'near:' || CAST(doc_id AS VARCHAR),
+    substr(md5(text), 1, 4)
+      || translate(substr(md5(text), 5, 1),
+                   '0123456789abcdef', '1032547698badcfe')
+      || substr(md5(text), 6, 11)
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT 'copy:' || CAST(doc_id AS VARCHAR),
+    substr(md5(text), 1, 16)
+  FROM documents WHERE doc_id % 7 = 0
+),
+bands AS (
+  SELECT url, ahash, b,
+    substr(ahash, CAST(1 + 4 * b AS INT), 4) AS v
+  FROM hashes, (SELECT unnest(range(0, 4)) AS b)
+),
+cand AS (
+  SELECT DISTINCT a.url AS url_a, bb.url AS url_b,
+    a.ahash AS ahash_a, bb.ahash AS ahash_b
+  FROM bands a JOIN bands bb
+    ON a.b = bb.b AND a.v = bb.v AND a.url < bb.url
+)
+SELECT url_a, url_b, hamming FROM (
+  SELECT url_a, url_b, CAST({ham} AS INT) AS hamming FROM cand
+) WHERE hamming <= {max_hamming}"""
+
+
 def _doc_shingles(source_sql, n):
     return f"""(
   SELECT doc_id, shingle FROM (

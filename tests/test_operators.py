@@ -524,6 +524,68 @@ def test_media_features_real_bmp_ppm_decode(spark):
     )
 
 
+def test_image_ahash_and_near_dups(spark):
+    """Perceptual hashing end-to-end on REAL planted rasters: a
+    half-black/half-white BMP has the exactly-known average hash
+    0f0f0f0f0f0f0f0f, a 1-sampled-pixel edit lands at Hamming 1, the
+    inverted image at Hamming 64; the banded near-dup join finds the
+    Hamming-0 copy and Hamming-1 neighbor and rejects the inversion;
+    non-raster payloads take the sha256-prefix fallback; and the
+    exactness precondition (max_hamming < bands) is enforced."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from rdf_canonize_spark.operators import multimodal
+
+    w = h = 16
+    left_black = [
+        (0, 0, 0) if x < 8 else (255, 255, 255)
+        for y in range(h)
+        for x in range(w)
+    ]
+    noisy = list(left_black)
+    noisy[1 * w + 1] = (255, 255, 255)  # sampled block (0,0) flips
+    inverted = [
+        (255, 255, 255) if x < 8 else (0, 0, 0)
+        for y in range(h)
+        for x in range(w)
+    ]
+    rows = [
+        ("img_base", bytearray(_make_bmp(w, h, left_black)), "image/bmp"),
+        ("img_copy", bytearray(_make_bmp(w, h, left_black)), "image/bmp"),
+        ("img_near", bytearray(_make_bmp(w, h, noisy)), "image/bmp"),
+        ("img_inv", bytearray(_make_bmp(w, h, inverted)), "image/bmp"),
+        ("page", bytearray(b"<html>x</html>"), "text/html"),
+    ]
+    media = spark.createDataFrame(
+        rows, "url string, media binary, media_type string"
+    )
+    hashes = multimodal.image_ahash(media)
+    got = {r["url"]: r for r in hashes.collect()}
+    assert got["img_base"]["decode_status"] == "decoded"
+    assert got["img_base"]["ahash"] == "0f0f0f0f0f0f0f0f"
+    assert got["img_copy"]["ahash"] == got["img_base"]["ahash"]
+    assert got["img_near"]["ahash"] == "8f0f0f0f0f0f0f0f"  # 1 bit
+    assert got["img_inv"]["ahash"] == "f0f0f0f0f0f0f0f0"
+    assert got["page"]["decode_status"] == "stubbed"
+    assert got["page"]["ahash"] == hashlib.sha256(
+        b"<html>x</html>"
+    ).hexdigest()[:16]
+
+    pairs = {
+        (r["url_a"], r["url_b"]): r["hamming"]
+        for r in multimodal.ahash_near_dups(hashes).collect()
+    }
+    assert pairs[("img_base", "img_copy")] == 0
+    assert pairs[("img_base", "img_near")] == 1
+    assert pairs[("img_copy", "img_near")] == 1
+    assert not any("img_inv" in p or "page" in p for p in pairs)
+
+    with _pytest.raises(ValueError):
+        multimodal.ahash_near_dups(hashes, max_hamming=4)
+
+
 def test_sql_first_degree_hash_matches_python_kernel(spark, sf_dir):
     """The relational O4 fast path must byte-match the Python kernel's
     first-degree hashes for every (url, bnode) in the pipeline corpus."""
