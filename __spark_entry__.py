@@ -698,6 +698,37 @@ def q_line_filter(spark, sf_dir):
     return line_filter(docs)
 
 
+def q_temperature_sample(spark, sf_dir):
+    """Temperature-based source mixing: alpha=0.5 source
+    re-balancing under a 50% document budget, integer-exact keep
+    probabilities, hash-threshold selection
+    (sampling.temperature_sample)."""
+    from rdf_canonize_spark.operators.sampling import temperature_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    return temperature_sample(docs)
+
+
+def q_incremental_dedup(spark, sf_dir):
+    """Snapshot-over-snapshot dedup: the derived crawl variants
+    screened against the original corpus -- exact hash, then LSH-band
+    candidates verified by exact Jaccard, old x new quadrant only
+    (dedup.incremental_dedup)."""
+    from pyspark.sql import functions as F
+
+    from rdf_canonize_spark.operators.dedup import (
+        incremental_dedup,
+        near_dup_corpus,
+    )
+
+    corpus = near_dup_corpus(spark, sf_dir)
+    old = corpus.filter(F.col("doc_id") < 1000000)
+    new = corpus.filter(F.col("doc_id") >= 1000000)
+    return incremental_dedup(new, old)
+
+
 def q_media_ahash(spark, sf_dir):
     """Perceptual image hashing through the Arrow kernel: real aHash
     for decodable rasters, deterministic sha256-prefix fallback for
@@ -1146,6 +1177,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # their original order (all 70 prior entries are green in
     # CORRECTNESS_full_r04.json).
     return {
+        "docs_temperature_sample": q_temperature_sample,  # round 5
+        "dedup_incremental": q_incremental_dedup,  # round 5
         "media_ahash": q_media_ahash,  # round 5
         "media_ahash_near_dups": q_media_ahash_near_dups,  # round 5
         "docs_bpe_merges": q_bpe_merges,  # round 5
@@ -1266,6 +1299,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_inverted_index": oracle_ops.inverted_index(),
         "docs_bpe_merges": oracle_ops.bpe_merges(),
         "media_ahash": oracle_ops.media_ahash(),
+        "dedup_incremental": oracle_ops.incremental_dedup(),
+        "docs_temperature_sample": oracle_ops.temperature_sample(),
         "media_ahash_near_dups": oracle_ops.ahash_near_dups(),
         "docs_bigram_ppl": oracle_ops.bigram_ppl(
             ref_predicate="lang = 'en'"

@@ -235,6 +235,65 @@ def lsh_candidates(corpus, n_hashes=N_MINHASH, bands=LSH_BANDS):
     )
 
 
+def incremental_dedup(new_docs, old_docs, threshold=0.5,
+                      n_hashes=N_MINHASH, bands=LSH_BANDS):
+    """Snapshot-over-snapshot dedup -- the recurring-crawl shape: a
+    NEW batch of documents is screened against an EXISTING corpus
+    without ever comparing old-vs-old or new-vs-new.  Statuses:
+    ``exact_dup`` (content hash already in the old corpus),
+    ``near_dup`` (verified Jaccard >= threshold against some old doc
+    via LSH band candidates), ``kept``.  Output ``(doc_id, status,
+    match_id)``, ``match_id`` = smallest matching old doc at the
+    strongest level (NULL for kept).  Caller contract: the two
+    doc_id spaces are disjoint and new ids sort above old ids.
+
+    Scale shape: the old side's hash table and band index are pure
+    functions of the old corpus -- in production they are computed
+    once per snapshot and reused (written as tables), so screening a
+    new batch costs one hash equi-join + one band equi-join sized by
+    the NEW side, plus exact Jaccard on candidate survivors only.
+    No all-pairs anywhere; the old x old and new x new quadrants are
+    never joined."""
+    old_hashes = old_docs.groupBy(
+        F.sha2(F.col("text"), 256).alias("h")
+    ).agg(F.min("doc_id").alias("exact_match"))
+    exact = (
+        new_docs.select("doc_id", F.sha2(F.col("text"), 256).alias("h"))
+        .join(old_hashes, "h", "left")
+        .select("doc_id", "exact_match")
+    )
+    ob = lsh_bands(old_docs, n_hashes, bands).select(
+        F.col("doc_id").alias("doc_a"), "band", "band_key"
+    )
+    nb = lsh_bands(new_docs, n_hashes, bands).select(
+        F.col("doc_id").alias("doc_b"), "band", "band_key"
+    )
+    cand = (
+        ob.join(nb, ["band", "band_key"])
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    corpus = old_docs.select("doc_id", "text").unionByName(
+        new_docs.select("doc_id", "text")
+    )
+    near = (
+        jaccard_on_candidates(corpus, cand, threshold)
+        .groupBy(F.col("doc_b").alias("doc_id"))
+        .agg(F.min("doc_a").alias("near_match"))
+    )
+    return (
+        exact.join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("exact_match").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("near_match").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+            F.coalesce("exact_match", "near_match").alias("match_id"),
+        )
+    )
+
+
 def dedup_clusters(corpus, threshold=0.5, n_hashes=N_MINHASH,
                    bands=LSH_BANDS):
     """End-to-end near-dup clustering, the operator a training-data

@@ -153,6 +153,92 @@ vpairs AS (
 )"""
 
 
+def temperature_sample(target_frac=0.5):
+    """Mirrors sampling.temperature_sample: integer micro-unit sqrt
+    weights, HUGEINT integral division (== Spark DECIMAL(38,0) div,
+    pinned), lpad(lower(hex)) threshold with the 'g' keep-all
+    sentinel, md5 8-hex bucket comparison."""
+    t_micro = int(round(target_frac * 1e6))
+    return f"""WITH counts AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(floor(sqrt(COUNT(*)) * 1000000) AS BIGINT) AS w
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(SUM(w) AS BIGINT) AS tw, CAST(SUM(n) AS BIGINT) AS tn
+  FROM counts
+),
+k AS (
+  SELECT source,
+    least(1000000, CAST(
+      (CAST({t_micro} AS HUGEINT) * tn * w)
+        // (CAST(tw AS HUGEINT) * n) AS BIGINT)) AS k_micro
+  FROM counts, tot
+),
+thr AS (
+  SELECT source, k_micro,
+    CASE WHEN k_micro >= 1000000 THEN 'g'
+      ELSE lpad(lower(hex(k_micro * 4294967296 // 1000000)), 8, '0')
+    END AS thr
+  FROM k
+)
+SELECT d.doc_id, d.source,
+  substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS bucket,
+  t.k_micro
+FROM documents d JOIN thr t USING (source)
+WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < t.thr"""
+
+
+def incremental_dedup(threshold=0.5):
+    """Mirrors dedup.incremental_dedup over the CORPUS_CTE split:
+    old = the original documents (doc_id < 1000000), new = the
+    derived variants.  Shares the shingle/minhash/band CTEs; the
+    candidate join is restricted to the old x new quadrant; exact
+    precedence over near; match = MIN old id."""
+    return f"""WITH {CORPUS_CTE}, {SHINGLES_CTE}, {MINHASH_CTE}, {BANDS_CTE},
+oh AS (
+  SELECT sha256(text) AS h, MIN(doc_id) AS exact_match
+  FROM corpus WHERE doc_id < 1000000 GROUP BY sha256(text)
+),
+ex AS (
+  SELECT n.doc_id, o.exact_match
+  FROM (SELECT doc_id, sha256(text) AS h FROM corpus
+        WHERE doc_id >= 1000000) n
+  LEFT JOIN oh o USING (h)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < 1000000 AND b.doc_id >= 1000000
+),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS n_shingles FROM shingles GROUP BY doc_id
+),
+common AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN shingles sa ON sa.doc_id = c.doc_a
+  JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+near AS (
+  SELECT c.doc_b AS doc_id, MIN(c.doc_a) AS near_match
+  FROM common c
+  JOIN sizes sa ON c.doc_a = sa.doc_id
+  JOIN sizes sb ON c.doc_b = sb.doc_id
+  WHERE CAST(c.n_common AS DOUBLE)
+        / (sa.n_shingles + sb.n_shingles - c.n_common) >= {threshold}
+  GROUP BY c.doc_b
+)
+SELECT e.doc_id,
+  CASE WHEN e.exact_match IS NOT NULL THEN 'exact_dup'
+       WHEN nr.near_match IS NOT NULL THEN 'near_dup'
+       ELSE 'kept' END AS status,
+  COALESCE(e.exact_match, nr.near_match) AS match_id
+FROM ex e LEFT JOIN near nr USING (doc_id)"""
+
+
 def lsh_verified_pairs(threshold=0.5):
     """Composed scale path: LSH band candidates -> exact Jaccard on
     survivors only (mirrors dedup.lsh_verified_pairs)."""

@@ -86,6 +86,87 @@ def source_mix_quota(docs, quotas, stratum_col="lang"):
     )
 
 
+TEMP_TARGET_FRAC = 0.5
+
+
+def temperature_sample(docs, target_frac=TEMP_TARGET_FRAC,
+                       source_col="source"):
+    """Temperature-based source mixing (the multilingual-pretraining
+    re-balancing rule, Conneau & Lample 2019 / mT5: sample sources
+    proportional to ``n_s^alpha`` with alpha = 0.5, up-weighting rare
+    sources): given a global budget of ``target_frac * N`` documents,
+    source ``s`` gets a per-doc keep probability
+    ``k_s = min(1, target_frac * N * q_s / n_s)`` with
+    ``q_s = w_s / W``, ``w_s = floor(1e6 * sqrt(n_s))``.  Output
+    ``(doc_id, source, bucket, k_micro)`` for the kept docs.
+
+    Every quantity is integerized so the sample is bit-identical
+    cross-engine: sqrt is IEEE correctly-rounded on both engines,
+    weights floor to micro units, and the keep probability is an
+    exact integral division of DECIMAL(38,0)/HUGEINT products
+    (pinned equal to DuckDB ``//``).  Selection reuses the
+    hash-threshold recipe of ``stratified_sample``: keep iff the
+    md5(doc_id) 8-hex bucket sorts below the per-source threshold
+    ('g' = keep-all when k saturates).
+
+    Scale shape: one source-keyed count aggregate (map-side
+    combinable) + a 1-row totals broadcast + a probability-table
+    broadcast join (source-cardinality rows; bucket it instead if
+    sources are full domains at 100 TB) + a pure filter -- the fact
+    side is never shuffled."""
+    t_micro = int(round(target_frac * 1e6))
+    counts = docs.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(
+        source_col,
+        "n",
+        F.floor(F.sqrt(F.col("n")) * 1e6).cast("long").alias("w"),
+    )
+    tot = counts.agg(
+        F.sum("w").alias("tw"), F.sum("n").alias("tn")
+    )
+    k = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            source_col,
+            F.least(
+                F.lit(1000000).cast("long"),
+                F.expr(
+                    f"(CAST({t_micro} AS DECIMAL(38,0)) * tn * w)"
+                    " div (CAST(tw AS DECIMAL(38,0)) * n)"
+                ),
+            ).alias("k_micro"),
+        )
+        .select(
+            source_col,
+            "k_micro",
+            F.when(F.col("k_micro") >= 1000000, F.lit("g"))
+            .otherwise(
+                F.lpad(
+                    F.lower(
+                        F.hex(
+                            F.expr(
+                                "(k_micro * 4294967296) div 1000000"
+                            )
+                        )
+                    ),
+                    8,
+                    "0",
+                )
+            )
+            .alias("thr"),
+        )
+    )
+    b = _bucket()
+    return (
+        docs.select("doc_id", source_col, b.alias("bucket"))
+        .join(F.broadcast(k), source_col)
+        .filter(F.col("bucket") < F.col("thr"))
+        .select("doc_id", F.col(source_col).alias("source"),
+                "bucket", "k_micro")
+    )
+
+
 def pack_sequences(docs, budget=512, shards=8, tokens_col=None):
     """Concat-then-chunk sequence packing (training-batch assembly):
     documents are deterministically ordered within ``shards`` hash

@@ -524,6 +524,92 @@ def test_media_features_real_bmp_ppm_decode(spark):
     )
 
 
+def test_temperature_sample_planted(spark):
+    """Temperature mixing at alpha=0.5: the rare source's keep
+    probability saturates (every doc kept) while the dominant source
+    is cut to its sqrt-weighted share; the kept set equals an exact
+    Python mirror of the integer threshold math, and is invariant
+    under repartitioning."""
+    import hashlib
+    import math
+
+    from rdf_canonize_spark.operators.sampling import temperature_sample
+
+    n_a, n_b = 90, 10
+    rows = [(i, "A") for i in range(n_a)] + [
+        (1000 + i, "B") for i in range(n_b)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+
+    # exact integer mirror of the operator's math
+    w_a = math.floor(math.sqrt(n_a) * 1e6)
+    w_b = math.floor(math.sqrt(n_b) * 1e6)
+    tw, tn, t_micro = w_a + w_b, n_a + n_b, 500000
+    k = {
+        "A": min(10**6, (t_micro * tn * w_a) // (tw * n_a)),
+        "B": min(10**6, (t_micro * tn * w_b) // (tw * n_b)),
+    }
+    assert k["B"] == 10**6  # rare source saturates -> keep all
+
+    def bucket(doc_id):
+        return hashlib.md5(str(doc_id).encode()).hexdigest()[:8]
+
+    def thr(km):
+        return "g" if km >= 10**6 else format(
+            km * 4294967296 // 10**6, "08x"
+        )
+
+    expected = {
+        d for d, s in rows if bucket(d) < thr(k[s])
+    }
+    got = {r["doc_id"] for r in temperature_sample(docs).collect()}
+    assert got == expected
+    assert {d for d, s in rows if s == "B"} <= got
+    n_kept_a = len([d for d in got if d < 1000])
+    assert 0 < n_kept_a < n_a  # dominant source actually cut
+    got2 = {
+        r["doc_id"]
+        for r in temperature_sample(docs.repartition(7)).collect()
+    }
+    assert got2 == got
+
+
+def test_incremental_dedup_planted(spark):
+    """Snapshot screening: an exact copy of an old doc is exact_dup
+    (matched to the SMALLEST old copy), a near variant is near_dup,
+    novel text is kept, and a doc duplicating another NEW doc (but
+    nothing old) is kept -- the new x new quadrant is never
+    compared."""
+    from rdf_canonize_spark.operators.dedup import incremental_dedup
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota "
+            "kappa lambda mu nu xi omicron pi rho sigma tau")
+    old = spark.createDataFrame(
+        [(1, base), (2, base), (3, "totally different old content "
+                                   "about completely other things")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (101, base),                                   # exact dup
+            (102, base.replace("alpha ", "")),             # near dup
+            (103, "brand new unseen writing nothing like "
+                  "anything already collected before now"),
+            (104, "brand new unseen writing nothing like "
+                  "anything already collected before now"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["status"], r["match_id"])
+        for r in incremental_dedup(new, old).collect()
+    }
+    assert got[101] == ("exact_dup", 1)  # min old copy
+    assert got[102][0] == "near_dup" and got[102][1] == 1
+    assert got[103] == ("kept", None)
+    assert got[104] == ("kept", None)   # new-vs-new never compared
+
+
 def test_image_ahash_and_near_dups(spark):
     """Perceptual hashing end-to-end on REAL planted rasters: a
     half-black/half-white BMP has the exactly-known average hash
