@@ -16,6 +16,13 @@ import __spark_entry__ as entrymod
 # (the prior 70 are all green in CORRECTNESS_full_r04.json); the
 # round-3/4 priority block follows
 PRIORITY_PREFIX = [
+    "docs_temperature_sample",
+    "dedup_incremental",
+    "media_ahash",
+    "media_ahash_near_dups",
+    "docs_bpe_merges",
+    "docs_inverted_index",
+    "docs_line_filter",
     "docs_bigram_ppl",
     "docs_source_profile",
     "dedup_containment_pairs",
@@ -59,7 +66,7 @@ PRIORITY_PREFIX = [
 def test_registry_shape_and_priority_prefix():
     qs = entrymod.queries()
     names = list(qs)
-    assert len(names) == len(set(names)) == 87
+    assert len(names) == len(set(names)) == 94
     assert names[: len(PRIORITY_PREFIX)] == PRIORITY_PREFIX
     assert all(callable(fn) for fn in qs.values())
 
