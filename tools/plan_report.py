@@ -68,6 +68,17 @@ NLJ_OK = {
     # amplification however large the corpus grows
     "emb_kmeans_quantized":
         "broadcast-centroid Lloyd assignment (N x k, k fixed)",
+    # 1-row broadcast build side PER ROUND: each learned merge pair
+    # joins onto the vocabulary-sized word table (LEFT so an empty
+    # round is a no-op); 6 rounds -> 6 footnoted 1-row BNLJs
+    "docs_bpe_merges": "single-row broadcast merge-pair attach "
+                       "(1 row per round x 6 rounds, vocab-sized "
+                       "probe side)",
+    # 1-row broadcast build side: the corpus totals (sum of weights,
+    # doc count) attached to the source-cardinality probability table
+    "docs_temperature_sample": "single-row broadcast totals attach "
+                               "(probability table side, "
+                               "source-cardinality rows)",
 }
 
 # Unpartitioned (single-task) Window operators that are BY DESIGN,
