@@ -356,6 +356,12 @@ def _ahash_hex(px, grid=AHASH_GRID):
     ri = ((np.arange(grid) + 0.5) * h / grid).astype(int)
     ci = ((np.arange(grid) + 0.5) * w / grid).astype(int)
     samp = gray[np.ix_(ri, ci)]
+    if samp.max() == samp.min():
+        # zero-variance raster: 'bit = sample >= mean' is all-true, so
+        # EVERY flat image (solid black, solid white, placeholder
+        # tiles) would collapse to one hash and one giant false
+        # near-dup bucket -- signal the caller to use the content hash
+        return None
     bits = (samp >= samp.mean()).flatten()
     val = 0
     for b in bits:
@@ -391,6 +397,12 @@ def image_ahash(media_df, grid=AHASH_GRID):
                     else:
                         ah = hashlib.sha256(payload).hexdigest()[:16]
                         status = "stubbed"
+                    if status == "decoded" and ah is None:
+                        # flat raster: perceptual bits are degenerate;
+                        # the content hash keeps identical flat images
+                        # as exact pairs without a false mega-bucket
+                        ah = hashlib.sha256(payload).hexdigest()[:16]
+                        status = "decoded-flat"
                 except ValueError:
                     ah = hashlib.sha256(payload).hexdigest()[:16]
                     status = "decode-error"
@@ -442,7 +454,11 @@ def ahash_near_dups(hashes_df, max_hamming=AHASH_MAX_HAMMING):
         ).alias("bd"),
     ).select(
         "url", "ahash", F.col("bd.b").alias("b"), F.col("bd.v").alias("v")
-    )
+    ).localCheckpoint()
+    # eager checkpoint: bands feeds BOTH sides of the self-join, and a
+    # broadcast join never produces a ReusedExchange -- without it the
+    # upstream subtree (including an image_ahash raster decode, when
+    # composed) executes twice (CLAUDE.md multi-branch rule)
     left = bands.select(
         F.col("url").alias("url_a"),
         F.col("ahash").alias("ahash_a"),

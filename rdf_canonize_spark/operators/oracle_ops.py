@@ -18,7 +18,7 @@ from .textstats import (
     FINGERPRINT_WINDOW,
     LANG_ORDER,
     LINE_MIN_WORDS,
-    LINE_TERMINAL_REGEX,
+    LINE_TERMINAL_CHARS,
     LINE_WORD_REGEX,
     NON_WORD_CLASS,
     STOPWORDS,
@@ -1960,22 +1960,28 @@ def line_filter():
     """Mirrors textstats.line_filter: list_transform line tagging with
     the fixed rule ladder (short -> no_terminal -> brace ->
     javascript), struct-field lambdas, INT casts to match Spark
-    ``size()``; trim() strips spaces only on both engines; the
-    terminal-punctuation class's single quote is SQL-doubled."""
-    term = LINE_TERMINAL_REGEX.replace("'", "''")
+    ``size()``.  The trimmed line is trim -> rtrim(cr) -> trim and the
+    terminal check is right(line, 1) IN set -- character-set trims and
+    a last-char test, never a '$'-anchored regex (Java '$' matches
+    before a final line terminator, RE2 '$' only at end-of-string:
+    CRLF text would diverge)."""
+    terms = ", ".join(
+        "'" + c.replace("'", "''") + "'" for c in LINE_TERMINAL_CHARS
+    )
+    tl = "trim(rtrim(trim(l), chr(13)))"
     return f"""WITH tl AS (
   SELECT doc_id,
     contains(lower(text), 'lorem ipsum') AS lorem_ipsum,
     list_transform(string_split(text, chr(10)), l -> struct_pack(
       line := l,
       reason := CASE
-        WHEN len(regexp_extract_all(trim(l), '{LINE_WORD_REGEX}'))
+        WHEN len(regexp_extract_all({tl}, '{LINE_WORD_REGEX}'))
              < {LINE_MIN_WORDS} THEN 'short'
-        WHEN NOT regexp_matches(trim(l), '{term}')
+        WHEN right({tl}, 1) NOT IN ({terms})
              THEN 'no_terminal'
-        WHEN contains(trim(l), '{{') OR contains(trim(l), '}}')
+        WHEN contains({tl}, '{{') OR contains({tl}, '}}')
              THEN 'brace'
-        WHEN contains(lower(trim(l)), 'javascript') THEN 'javascript'
+        WHEN contains(lower({tl}), 'javascript') THEN 'javascript'
         ELSE NULL END)) AS tl
   FROM documents
 )

@@ -620,8 +620,12 @@ def nfc_profile(docs):
 LINE_MIN_WORDS = 5
 DOC_MIN_KEPT_LINES = 3
 # terminal punctuation: . ! ? " '  (quote chars via chr() -- CLAUDE.md
-# unicode file-write constraint)
-LINE_TERMINAL_REGEX = "[.!?" + chr(34) + chr(39) + "]$"
+# unicode file-write constraint).  Checked via right(line, 1) IN set,
+# NOT a '$'-anchored regex: Java '$' matches BEFORE a final line
+# terminator (\r, U+0085, U+2028, U+2029) while RE2 '$' matches only
+# end-of-string, so an anchored regex diverges between Spark and the
+# DuckDB oracle on CRLF text.
+LINE_TERMINAL_CHARS = (".", "!", "?", chr(34), chr(39))
 LINE_WORD_REGEX = "[^" + WS_CHARS + "]+"
 LINE_RULES = ("short", "no_terminal", "brace", "javascript")
 
@@ -646,13 +650,17 @@ def line_filter(docs, min_words=LINE_MIN_WORDS,
     select."""
 
     def reason(l):
-        t = F.trim(l)
+        # strip trailing spaces AND CRLF carriage returns (trim ->
+        # rtrim(cr) -> trim handles any space/cr tail interleaving);
+        # character-set trims, never a '$' regex (Java/RE2 divergence)
+        t = F.trim(F.rtrim(F.trim(l), F.lit(chr(13))))
         wc = F.size(
             F.regexp_extract_all(t, F.lit(LINE_WORD_REGEX), F.lit(0))
         )
+        last = F.substring(t, -1, 1)
         return (
             F.when(wc < min_words, F.lit("short"))
-            .when(~t.rlike(LINE_TERMINAL_REGEX), F.lit("no_terminal"))
+            .when(~last.isin(*LINE_TERMINAL_CHARS), F.lit("no_terminal"))
             .when(t.contains("{") | t.contains("}"), F.lit("brace"))
             .when(F.lower(t).contains("javascript"), F.lit("javascript"))
         )
@@ -794,6 +802,8 @@ def bpe_merges(docs, n_merges=BPE_N_MERGES):
                 "pair_count",
             )
         )
+        if i == n_merges:
+            break  # the final round's merged seqs have no consumer
         seqs = (
             seqs.join(F.broadcast(top), F.lit(True), "left")
             .select(

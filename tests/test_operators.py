@@ -643,6 +643,15 @@ def test_image_ahash_and_near_dups(spark):
         ("img_near", bytearray(_make_bmp(w, h, noisy)), "image/bmp"),
         ("img_inv", bytearray(_make_bmp(w, h, inverted)), "image/bmp"),
         ("page", bytearray(b"<html>x</html>"), "text/html"),
+        # zero-variance rasters: solid black / white / black again --
+        # perceptual bits are degenerate, so flats take the content
+        # hash (identical flats pair at 0, different colors never)
+        ("flat_k1", bytearray(_make_bmp(4, 4, [(0, 0, 0)] * 16)),
+         "image/bmp"),
+        ("flat_k2", bytearray(_make_bmp(4, 4, [(0, 0, 0)] * 16)),
+         "image/bmp"),
+        ("flat_w", bytearray(_make_bmp(4, 4, [(255, 255, 255)] * 16)),
+         "image/bmp"),
     ]
     media = spark.createDataFrame(
         rows, "url string, media binary, media_type string"
@@ -659,6 +668,10 @@ def test_image_ahash_and_near_dups(spark):
         b"<html>x</html>"
     ).hexdigest()[:16]
 
+    assert got["flat_k1"]["decode_status"] == "decoded-flat"
+    assert got["flat_k1"]["ahash"] == got["flat_k2"]["ahash"]
+    assert got["flat_k1"]["ahash"] != got["flat_w"]["ahash"]
+
     pairs = {
         (r["url_a"], r["url_b"]): r["hamming"]
         for r in multimodal.ahash_near_dups(hashes).collect()
@@ -666,6 +679,8 @@ def test_image_ahash_and_near_dups(spark):
     assert pairs[("img_base", "img_copy")] == 0
     assert pairs[("img_base", "img_near")] == 1
     assert pairs[("img_copy", "img_near")] == 1
+    assert pairs[("flat_k1", "flat_k2")] == 0  # identical flats
+    assert ("flat_k1", "flat_w") not in pairs  # different flats
     assert not any("img_inv" in p or "page" in p for p in pairs)
 
     with _pytest.raises(ValueError):
@@ -1882,6 +1897,10 @@ def test_line_filter_planted_and_duckdb_parity(spark):
         (6, nl.join([good, good, good,
                      "lorem ipsum dolor sit amet consectetur elit."])),
         (7, ""),
+        # CRLF document: lines end in \r, which Java-regex '$' and
+        # RE2 '$' treat differently -- the char-set trim + last-char
+        # rule must keep both engines identical AND keep the lines
+        (8, (good + chr(13) + nl) * 3),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r for r in line_filter(docs).collect()}
@@ -1897,6 +1916,7 @@ def test_line_filter_planted_and_duckdb_parity(spark):
     assert not got[6]["doc_kept"]          # lorem gate despite 4 kept
     assert got[7]["n_lines"] == 1 and got[7]["n_short"] == 1
     assert got[7]["clean_text"] == ""
+    assert got[8]["n_kept"] == 3 and got[8]["doc_kept"]  # CRLF kept
 
     # repartition invariance + shuffle-free plan (pure per-row map)
     assert sorted(map(tuple, line_filter(docs).collect())) == sorted(
