@@ -698,6 +698,34 @@ def q_line_filter(spark, sf_dir):
     return line_filter(docs)
 
 
+def q_length_histogram(spark, sf_dir):
+    """Token-length power-of-2 histogram per language
+    (textstats.length_histogram)."""
+    from rdf_canonize_spark.operators.textstats import length_histogram
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "lang", "text"
+    )
+    return length_histogram(docs)
+
+
+def q_url_blocklist(spark, sf_dir):
+    """Domain blocklist gate over the synthetic crawl corpus: exact
+    host + registered-suffix rules (urls.blocklist_filter)."""
+    from rdf_canonize_spark.operators import urls
+
+    return urls.blocklist_filter(urls.crawl_urls(spark, sf_dir))
+
+
+def q_entity_cooccurrence(spark, sf_dir):
+    """Entity co-occurrence PMI graph: capped within-document pair
+    join, micro-nat PMI over document frequencies
+    (entities.entity_cooccurrence)."""
+    from rdf_canonize_spark.pipeline.entities import entity_cooccurrence
+
+    return entity_cooccurrence(_quads(spark, sf_dir))
+
+
 def q_temperature_sample(spark, sf_dir):
     """Temperature-based source mixing: alpha=0.5 source
     re-balancing under a 50% document budget, integer-exact keep
@@ -1177,6 +1205,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # their original order (all 70 prior entries are green in
     # CORRECTNESS_full_r04.json).
     return {
+        "entity_cooccurrence": q_entity_cooccurrence,  # round 5
+        "docs_length_histogram": q_length_histogram,  # round 5
+        "url_blocklist": q_url_blocklist,  # round 5
         "docs_temperature_sample": q_temperature_sample,  # round 5
         "dedup_incremental": q_incremental_dedup,  # round 5
         "media_ahash": q_media_ahash,  # round 5
@@ -1301,6 +1332,9 @@ def oracle_sql() -> dict[str, str]:
         "media_ahash": oracle_ops.media_ahash(),
         "dedup_incremental": oracle_ops.incremental_dedup(),
         "docs_temperature_sample": oracle_ops.temperature_sample(),
+        "entity_cooccurrence": oracles.entity_cooccurrence(),
+        "docs_length_histogram": oracle_ops.length_histogram(),
+        "url_blocklist": oracle_ops.url_blocklist(),
         "media_ahash_near_dups": oracle_ops.ahash_near_dups(),
         "docs_bigram_ppl": oracle_ops.bigram_ppl(
             ref_predicate="lang = 'en'"

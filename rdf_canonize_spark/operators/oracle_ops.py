@@ -153,6 +153,59 @@ vpairs AS (
 )"""
 
 
+def length_histogram():
+    """Mirrors textstats.length_histogram: shared tokenizer,
+    length(bin(n)) power-of-2 bucket (parity pinned by probe), INT
+    bucket, HUGEINT sums cast to BIGINT."""
+    return f"""WITH t AS (
+  SELECT lang,
+    CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))
+         AS BIGINT) AS n
+  FROM documents
+)
+SELECT lang,
+  CAST(CASE WHEN n <= 0 THEN 0 ELSE length(bin(n)) END AS INT)
+    AS len_bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n) AS BIGINT) AS total_tokens,
+  CAST(MIN(n) AS BIGINT) AS min_tokens,
+  CAST(MAX(n) AS BIGINT) AS max_tokens
+FROM t GROUP BY lang,
+  CAST(CASE WHEN n <= 0 THEN 0 ELSE length(bin(n)) END AS INT)"""
+
+
+def url_blocklist(blocked_hosts=("site3.example.com",
+                                 "site13.example.com"),
+                  blocked_suffixes=(".example.net",)):
+    """Mirrors urls.blocklist_filter over the crawl_urls corpus: the
+    same anchored host-extraction regex chain (DuckDB regexp_replace
+    replaces first match only -- anchoring makes both engines
+    identical), fixed host -> suffix rule order."""
+    hosts = ", ".join("'" + h + "'" for h in blocked_hosts)
+    sfx = " OR ".join(
+        f"host LIKE '%{s}'" for s in blocked_suffixes
+    )
+    return f"""WITH {_URL_CORPUS_CTE.strip()},
+h AS (
+  SELECT doc_id, url,
+    regexp_replace(regexp_replace(regexp_replace(lower(
+      regexp_extract(
+        regexp_replace(regexp_replace(url, '#.*$', ''),
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''),
+        '^[^/?]*')),
+      '^[^@]*@', ''), ':[0-9]*$', ''), '^www\\.', '') AS host
+  FROM urls
+)
+SELECT doc_id, url, host,
+  CASE WHEN host IN ({hosts}) THEN 'host'
+       WHEN {sfx} THEN 'suffix'
+       ELSE NULL END AS block_reason,
+  (CASE WHEN host IN ({hosts}) THEN 'host'
+        WHEN {sfx} THEN 'suffix'
+        ELSE NULL END) IS NOT NULL AS blocked
+FROM h"""
+
+
 def temperature_sample(target_frac=0.5):
     """Mirrors sampling.temperature_sample: integer micro-unit sqrt
     weights, HUGEINT integral division (== Spark DECIMAL(38,0) div,

@@ -142,6 +142,39 @@ SELECT entity, COUNT(*) AS n_mentions, COUNT(DISTINCT url) AS n_docs
 FROM mentions GROUP BY entity"""
 
 
+def entity_cooccurrence(max_doc_entities=64, min_count=2):
+    """Mirrors entities.entity_cooccurrence: distinct (url, entity)
+    mentions, the max_doc_entities cap applied BEFORE pairing,
+    marginals/doc-count from the same capped set, floor(1e6 * ln)
+    micro-nat PMI with both ratio casts spelled identically."""
+    return f"""WITH {QUADS_CTE}, {_ENTITY_MENTIONS},
+dm AS MATERIALIZED (SELECT DISTINCT url, entity FROM mentions),
+dc AS (SELECT url, COUNT(*) AS n_ents FROM dm GROUP BY url),
+kept AS MATERIALIZED (
+  SELECT dm.url, dm.entity FROM dm JOIN dc USING (url)
+  WHERE dc.n_ents <= {max_doc_entities}
+),
+pairs AS (
+  SELECT a.entity AS entity_a, b.entity AS entity_b,
+    CAST(COUNT(*) AS BIGINT) AS c_ab
+  FROM kept a JOIN kept b
+    ON a.url = b.url AND a.entity < b.entity
+  GROUP BY a.entity, b.entity
+  HAVING COUNT(*) >= {min_count}
+),
+marg AS (
+  SELECT entity, CAST(COUNT(*) AS BIGINT) AS c FROM kept GROUP BY entity
+),
+tot AS (SELECT CAST(COUNT(DISTINCT url) AS BIGINT) AS nd FROM kept)
+SELECT p.entity_a, p.entity_b, p.c_ab,
+  CAST(floor(ln(CAST(p.c_ab * t.nd AS DOUBLE)
+                / CAST(ma.c * mb.c AS DOUBLE)) * 1000000) AS BIGINT)
+    AS pmi_micro
+FROM pairs p
+JOIN marg ma ON p.entity_a = ma.entity
+JOIN marg mb ON p.entity_b = mb.entity, tot t"""
+
+
 def canonical_entity_map():
     return f"""WITH {QUADS_CTE}, {_ENTITY_MENTIONS},
 ents AS (SELECT DISTINCT entity FROM mentions),

@@ -700,6 +700,45 @@ def line_filter(docs, min_words=LINE_MIN_WORDS,
     )
 
 
+def length_histogram(docs):
+    """Token-length distribution by power-of-2 bucket per language --
+    the one-glance corpus-shape artifact behind truncation budgets,
+    packing efficiency and outlier clipping decisions.  Bucket =
+    bit length of the token count (``length(bin(n))``, integer-exact
+    on both engines; 0 for empty docs), so bucket b holds docs with
+    2^(b-1) <= n < 2^b.  Output ``(lang, len_bucket, n_docs,
+    total_tokens, min_tokens, max_tokens)``.
+
+    Scale shape: one narrow tokenize-count projection + one
+    (lang, bucket)-keyed aggregate, every term map-side combinable;
+    key cardinality is languages x ~40 buckets, so the shuffle is
+    trivially small at any corpus size."""
+    n = F.size(
+        F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit(TOKEN_PATTERN), F.lit(0)
+        )
+    )
+    bucket = (
+        F.when(n <= 0, F.lit(0))
+        .otherwise(F.length(F.bin(n.cast("bigint"))))
+        .cast("int")
+    )
+    return (
+        docs.select(
+            "lang",
+            n.cast("long").alias("n"),
+            bucket.alias("len_bucket"),
+        )
+        .groupBy("lang", "len_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").alias("total_tokens"),
+            F.min("n").alias("min_tokens"),
+            F.max("n").alias("max_tokens"),
+        )
+    )
+
+
 # BPE trainer: number of merge rounds learned by the contract query
 # (the oracle unrolls exactly this many CTE chains)
 BPE_N_MERGES = 6

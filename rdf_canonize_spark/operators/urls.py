@@ -147,3 +147,58 @@ def url_dedup(df):
         )
         .filter(F.col("n_fetches") > 1)
     )
+
+
+# demo blocklist for the contract query (UT1-style domain curation);
+# production swaps in the real list, same shapes
+BLOCKED_HOSTS = ("site3.example.com", "site13.example.com")
+BLOCKED_SUFFIXES = (".example.net",)
+
+
+def blocklist_filter(df, blocked_hosts=BLOCKED_HOSTS,
+                     blocked_suffixes=BLOCKED_SUFFIXES):
+    """Domain blocklist gate -- the UT1/adult-list curation step every
+    crawl pipeline runs before content filtering: extract the
+    normalized host (lowercased, userinfo/port/``www.`` stripped, the
+    same anchored-regex chain as ``canonical_urls``) and flag exact
+    host matches and registered-suffix matches.  Output ``(doc_id,
+    url, host, block_reason, blocked)`` with ``block_reason`` in
+    ('host', 'suffix', NULL); fixed rule order host -> suffix.
+
+    Scale shape: pure Catalyst projection (the list folds into a
+    CASE/IN -- real blocklists at ~1M entries become a broadcast
+    left-semi join on the same host key, same plan shape); zero
+    shuffles, filter-pushdown friendly."""
+    rest = F.regexp_replace(
+        F.regexp_replace(F.col("url"), "#.*$", ""),
+        "^[a-zA-Z][a-zA-Z0-9+.-]*://",
+        "",
+    )
+    auth = F.regexp_extract(rest, "^[^/?]*", 0)
+    host = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(auth), "^[^@]*@", ""),
+            ":[0-9]*$",
+            "",
+        ),
+        "^www\\.",
+        "",
+    )
+    suffix_hit = None
+    for sfx in blocked_suffixes:
+        hit = F.col("host").endswith(sfx)
+        suffix_hit = hit if suffix_hit is None else (suffix_hit | hit)
+    reason = (
+        F.when(F.col("host").isin(*blocked_hosts), F.lit("host"))
+        .when(suffix_hit, F.lit("suffix"))
+    )
+    return (
+        df.select("doc_id", "url", host.alias("host"))
+        .select(
+            "doc_id",
+            "url",
+            "host",
+            reason.alias("block_reason"),
+            reason.isNotNull().alias("blocked"),
+        )
+    )

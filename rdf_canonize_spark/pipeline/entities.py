@@ -58,6 +58,76 @@ def entity_degrees(quads_df, n_salts=16):
     )
 
 
+COOC_MAX_DOC_ENTITIES = 64
+COOC_MIN_COUNT = 2
+
+
+def entity_cooccurrence(quads_df, max_doc_entities=COOC_MAX_DOC_ENTITIES,
+                        min_count=COOC_MIN_COUNT):
+    """Entity co-occurrence graph with PMI scores -- the KG-side
+    relatedness signal (link prediction priors, disambiguation
+    context, graph embeddings input): for every pair of entities
+    mentioned in the same document, ``pmi = ln(c_ab * N / (c_a *
+    c_b))`` over document frequencies, integerized to micro-nats
+    (``floor(1e6 * ln)``, the repo's idf recipe) so scores are
+    integer-exact cross-engine.  Output ``(entity_a, entity_b, c_ab,
+    pmi_micro)`` with ``entity_a < entity_b`` and ``c_ab >=
+    min_count``.
+
+    Scale shape: the within-document pair join is the only quadratic
+    surface, and it is bounded BEFORE the join by dropping documents
+    mentioning more than ``max_doc_entities`` distinct entities (a
+    mega-list page is low-signal for PMI anyway -- the standard
+    windowing argument), so a document contributes at most
+    ``max_doc_entities^2`` pair rows.  Marginals and the document
+    count come from the SAME capped mention set, keeping PMI
+    internally consistent; the mention set is localCheckpointed (3
+    consumers).  Entity keys are Zipfian (hub entities) -- the pair
+    aggregate is the AQE skew case, same note as the token joins."""
+    dm = entity_mentions(quads_df).distinct()
+    sizes = dm.groupBy("url").agg(F.count(F.lit(1)).alias("n_ents"))
+    kept = dm.join(
+        sizes.filter(F.col("n_ents") <= max_doc_entities).select("url"),
+        "url",
+    ).localCheckpoint()
+    a = kept.select("url", F.col("entity").alias("entity_a"))
+    b = kept.select("url", F.col("entity").alias("entity_b"))
+    pairs = (
+        a.join(b, "url")
+        .filter(F.col("entity_a") < F.col("entity_b"))
+        .groupBy("entity_a", "entity_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= min_count)
+    )
+    marg = kept.groupBy("entity").agg(F.count(F.lit(1)).alias("c"))
+    tot = kept.agg(F.countDistinct("url").alias("nd"))
+    return (
+        pairs.join(
+            marg.select(F.col("entity").alias("entity_a"),
+                        F.col("c").alias("c_a")),
+            "entity_a",
+        )
+        .join(
+            marg.select(F.col("entity").alias("entity_b"),
+                        F.col("c").alias("c_b")),
+            "entity_b",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "entity_a",
+            "entity_b",
+            "c_ab",
+            F.floor(
+                F.log(
+                    (F.col("c_ab") * F.col("nd")).cast("double")
+                    / (F.col("c_a") * F.col("c_b")).cast("double")
+                )
+                * 1e6
+            ).cast("long").alias("pmi_micro"),
+        )
+    )
+
+
 def canonical_entity_map(quads_df):
     """Cross-document entity canonicalization: cluster surface variants
     (here: gazetteer entries sharing a name stem, e.g.

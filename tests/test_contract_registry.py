@@ -16,6 +16,9 @@ import __spark_entry__ as entrymod
 # (the prior 70 are all green in CORRECTNESS_full_r04.json); the
 # round-3/4 priority block follows
 PRIORITY_PREFIX = [
+    "entity_cooccurrence",
+    "docs_length_histogram",
+    "url_blocklist",
     "docs_temperature_sample",
     "dedup_incremental",
     "media_ahash",
@@ -66,7 +69,7 @@ PRIORITY_PREFIX = [
 def test_registry_shape_and_priority_prefix():
     qs = entrymod.queries()
     names = list(qs)
-    assert len(names) == len(set(names)) == 94
+    assert len(names) == len(set(names)) == 97
     assert names[: len(PRIORITY_PREFIX)] == PRIORITY_PREFIX
     assert all(callable(fn) for fn in qs.values())
 

@@ -524,6 +524,92 @@ def test_media_features_real_bmp_ppm_decode(spark):
     )
 
 
+def test_length_histogram_and_blocklist_planted(spark):
+    """Length histogram: bucket b holds 2^(b-1) <= n < 2^b, empty
+    docs land in bucket 0, aggregates are exact.  Blocklist gate:
+    exact-host and suffix rules fire with host precedence, hosts are
+    normalized (case/port/www/userinfo), clean hosts pass."""
+    from rdf_canonize_spark.operators.textstats import length_histogram
+    from rdf_canonize_spark.operators.urls import blocklist_filter
+
+    docs = spark.createDataFrame(
+        [(1, "en", "a"), (2, "en", "a b"), (3, "en", "a b c"),
+         (4, "en", " ".join(["w"] * 8)), (5, "de", "")],
+        "doc_id long, lang string, text string",
+    )
+    got = {
+        (r["lang"], r["len_bucket"]): r
+        for r in length_histogram(docs).collect()
+    }
+    assert got[("en", 1)]["n_docs"] == 1          # n=1
+    assert got[("en", 2)]["n_docs"] == 2          # n=2,3
+    assert got[("en", 2)]["total_tokens"] == 5
+    assert got[("en", 2)]["min_tokens"] == 2
+    assert got[("en", 2)]["max_tokens"] == 3
+    assert got[("en", 4)]["n_docs"] == 1          # n=8
+    assert got[("de", 0)]["n_docs"] == 1          # empty doc
+
+    urls_df = spark.createDataFrame(
+        [
+            (1, "https://WWW.Bad.Example.NET:443/x?y=1"),
+            (2, "http://user@site3.example.com/ok"),
+            (3, "https://www.site4.example.com/fine#frag"),
+            (4, "http://site13.example.com.evil.org/"),
+        ],
+        "doc_id long, url string",
+    )
+    got_b = {
+        r["doc_id"]: (r["host"], r["block_reason"], r["blocked"])
+        for r in blocklist_filter(urls_df).collect()
+    }
+    assert got_b[1] == ("bad.example.net", "suffix", True)
+    assert got_b[2] == ("site3.example.com", "host", True)
+    assert got_b[3] == ("site4.example.com", None, False)
+    # suffix match is on the host tail, not a substring anywhere
+    assert got_b[4] == ("site13.example.com.evil.org", None, False)
+
+
+def test_entity_cooccurrence_planted(spark):
+    """Co-occurrence PMI: pair counts over distinct per-doc mentions,
+    the entity cap excludes mega-list documents BEFORE pairing (and
+    from the marginals), min_count prunes singletons, and pmi_micro
+    matches the hand-computed micro-nat value."""
+    import math
+
+    from rdf_canonize_spark.pipeline.entities import entity_cooccurrence
+    from rdf_canonize_spark.rdfc.terms import NAMED
+
+    ns = "http://kg.example.org/entity/"
+    doc_ents = {
+        "u1": ["A", "B", "C"],
+        "u2": ["A", "B"],
+        "u3": ["A", "B", "B"],   # duplicate mention collapses
+        "u4": ["D", "E", "F", "G"],  # over the cap -> excluded
+        "u5": ["C"],
+    }
+    rows = [
+        (u, NAMED, ns + e, 2, "lit")
+        for u, ents in doc_ents.items()
+        for e in ents
+    ]
+    quads = spark.createDataFrame(
+        rows, "url string, s_kind int, s string, o_kind int, o string"
+    )
+    got = {
+        (r["entity_a"], r["entity_b"]): r
+        for r in entity_cooccurrence(
+            quads, max_doc_entities=3, min_count=2
+        ).collect()
+    }
+    # kept docs: u1, u2, u3, u5 -> c_AB=3, c_A=3, c_B=3, c_C=2, nd=4
+    assert set(got) == {(ns + "A", ns + "B")}
+    r = got[(ns + "A", ns + "B")]
+    assert r["c_ab"] == 3
+    assert r["pmi_micro"] == math.floor(
+        math.log((3 * 4) / (3 * 3)) * 1e6
+    )
+
+
 def test_temperature_sample_planted(spark):
     """Temperature mixing at alpha=0.5: the rare source's keep
     probability saturates (every doc kept) while the dominant source
