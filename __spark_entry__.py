@@ -698,6 +698,36 @@ def q_line_filter(spark, sf_dir):
     return line_filter(docs)
 
 
+def q_robots_rules(spark, sf_dir):
+    """robots.txt parsing: comment strip, case-insensitive keys,
+    carry-forward group assignment (operators/robots.py)."""
+    from rdf_canonize_spark.operators import robots
+
+    return robots.parse_robots(robots.robots_corpus(spark, sf_dir))
+
+
+def q_robots_gate(spark, sf_dir):
+    """robots.txt compliance gate over the crawl corpus:
+    longest-prefix match, allow wins ties, no match = allowed
+    (operators/robots.py)."""
+    from rdf_canonize_spark.operators import robots, urls
+
+    rules = robots.parse_robots(robots.robots_corpus(spark, sf_dir))
+    return robots.robots_gate(urls.crawl_urls(spark, sf_dir), rules)
+
+
+def q_quality_threshold(spark, sf_dir):
+    """Per-language quality cutoff calibration: histogram-level
+    cumulative threshold, never a per-lang corpus sort
+    (textstats.quality_threshold)."""
+    from rdf_canonize_spark.operators.textstats import quality_threshold
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    return quality_threshold(docs)
+
+
 def q_length_histogram(spark, sf_dir):
     """Token-length power-of-2 histogram per language
     (textstats.length_histogram)."""
@@ -1206,6 +1236,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_full_r04.json).
     return {
         "entity_cooccurrence": q_entity_cooccurrence,  # round 5
+        "robots_rules": q_robots_rules,  # round 5
+        "robots_gate": q_robots_gate,  # round 5
+        "docs_quality_threshold": q_quality_threshold,  # round 5
         "docs_length_histogram": q_length_histogram,  # round 5
         "url_blocklist": q_url_blocklist,  # round 5
         "docs_temperature_sample": q_temperature_sample,  # round 5
@@ -1335,6 +1368,9 @@ def oracle_sql() -> dict[str, str]:
         "entity_cooccurrence": oracles.entity_cooccurrence(),
         "docs_length_histogram": oracle_ops.length_histogram(),
         "url_blocklist": oracle_ops.url_blocklist(),
+        "robots_rules": oracle_ops.robots_rules(),
+        "robots_gate": oracle_ops.robots_gate(),
+        "docs_quality_threshold": oracle_ops.quality_threshold(),
         "media_ahash_near_dups": oracle_ops.ahash_near_dups(),
         "docs_bigram_ppl": oracle_ops.bigram_ppl(
             ref_predicate="lang = 'en'"

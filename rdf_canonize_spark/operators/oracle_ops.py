@@ -206,6 +206,168 @@ SELECT doc_id, url, host,
 FROM h"""
 
 
+def quality_threshold(keep_frac=0.7):
+    """Mirrors textstats.quality_threshold: composes the quality
+    oracle as a nested WITH, histogram-level cumulative window
+    (HUGEINT sums cast to BIGINT), integer ceil identity for the
+    target, largest eligible quality level."""
+    k_micro = int(round(keep_frac * 1e6))
+    return f"""WITH q AS MATERIALIZED (
+  SELECT t.doc_id, t.quality FROM ({quality_score()}) t
+),
+hist AS MATERIALIZED (
+  SELECT d.lang,
+    CAST(round(q.quality * 1000000) AS BIGINT) AS q_micro,
+    COUNT(*) AS c
+  FROM q JOIN documents d USING (doc_id)
+  GROUP BY d.lang, CAST(round(q.quality * 1000000) AS BIGINT)
+),
+cum AS MATERIALIZED (
+  SELECT lang, q_micro,
+    CAST(SUM(c) OVER (PARTITION BY lang ORDER BY q_micro DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS cum
+  FROM hist
+),
+tot AS (
+  SELECT lang, CAST(SUM(c) AS BIGINT) AS n_docs FROM hist GROUP BY lang
+),
+thr AS (
+  SELECT c.lang, t.n_docs,
+    CAST((t.n_docs * {k_micro} + 999999) // 1000000 AS BIGINT)
+      AS n_target,
+    MAX(c.q_micro) AS thr_micro
+  FROM cum c JOIN tot t USING (lang)
+  WHERE c.cum >= (t.n_docs * {k_micro} + 999999) // 1000000
+  GROUP BY c.lang, t.n_docs
+)
+SELECT th.lang, th.n_docs, th.n_target, th.thr_micro,
+  cu.cum AS n_kept
+FROM thr th
+JOIN cum cu ON th.lang = cu.lang AND th.thr_micro = cu.q_micro"""
+
+
+_ROBOTS_CORPUS_CTE = """
+rh AS (
+  SELECT DISTINCT
+    CAST(floor(doc_id / 7) AS BIGINT) % 20 AS k,
+    'site' || CAST(CAST(floor(doc_id / 7) AS BIGINT) % 20 AS VARCHAR)
+      || '.example.com' AS host
+  FROM documents
+),
+robots AS (
+  SELECT host,
+    '# robots for host ' || host || chr(10)
+    || 'User-Agent: *' || chr(10)
+    || 'Disallow: /private' || chr(10)
+    || 'Allow: /private/ok' || chr(10)
+    || 'Disallow: /articles/1' || chr(10)
+    || 'Allow: /articles/1' || CAST(k % 10 AS VARCHAR) || chr(10)
+    || (CASE WHEN k % 2 = 0 THEN 'Disallow:' || chr(10) ELSE '' END)
+    || (CASE WHEN k % 3 = 0
+        THEN 'User-agent: gptbot' || chr(10) || 'Disallow: /'
+             || chr(10)
+        ELSE '' END) AS robots_txt
+  FROM rh
+)
+"""
+
+_ROBOTS_RULES_CTES = """
+rlines AS (
+  SELECT host, CAST(i AS INT) - 1 AS line_idx,
+    trim(regexp_replace(raw, '#.*$', '')) AS clean
+  FROM (
+    SELECT host, unnest(ls) AS raw,
+      unnest(range(1, len(ls) + 1)) AS i
+    FROM (SELECT host, string_split(robots_txt, chr(10)) AS ls
+          FROM robots)
+  )
+),
+rparsed AS (
+  SELECT host, line_idx,
+    CASE WHEN strpos(clean, ':') > 0
+      THEN lower(trim(split_part(clean, ':', 1))) END AS key,
+    CASE WHEN strpos(clean, ':') > 0
+      THEN trim(substr(clean, strpos(clean, ':') + 1)) END AS value
+  FROM rlines
+),
+rgrouped AS (
+  SELECT host, line_idx, key, value,
+    last_value(CASE WHEN key = 'user-agent' THEN value END
+               IGNORE NULLS)
+      OVER (PARTITION BY host ORDER BY line_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS agent
+  FROM rparsed
+),
+rrules AS (
+  SELECT host, line_idx, agent, key AS rule, value AS path
+  FROM rgrouped
+  WHERE key IN ('allow', 'disallow') AND agent IS NOT NULL
+)
+"""
+
+
+def robots_rules():
+    """Mirrors robots.parse_robots over robots.robots_corpus: zipped
+    parallel unnests for line indexing, comment strip + trim,
+    case-insensitive keys, IGNORE NULLS carry-forward group
+    assignment."""
+    return f"""WITH {_ROBOTS_CORPUS_CTE.strip()},
+{_ROBOTS_RULES_CTES.strip()}
+SELECT host, line_idx, agent, rule, path FROM rrules"""
+
+
+def robots_gate(agent="*"):
+    """Mirrors robots.robots_gate over the crawl_urls corpus: the
+    anchored host/path extraction, starts_with prefix match, struct
+    max for longest-prefix / allow-wins-ties, left join for
+    unmatched urls."""
+    return f"""WITH {_URL_CORPUS_CTE.strip()},
+{_ROBOTS_CORPUS_CTE.strip()},
+{_ROBOTS_RULES_CTES.strip()},
+u AS MATERIALIZED (
+  SELECT doc_id, url,
+    regexp_replace(regexp_replace(regexp_replace(lower(
+      regexp_extract(
+        regexp_replace(regexp_replace(url, '#.*$', ''),
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''),
+        '^[^/?]*')),
+      '^[^@]*@', ''), ':[0-9]*$', ''), '^www\\.', '') AS host,
+    CASE WHEN p = '' THEN '/' ELSE p END AS path
+  FROM (
+    SELECT doc_id, url,
+      regexp_extract(substr(rest, length(
+        regexp_extract(rest, '^[^/?]*')) + 1), '^[^?]*') AS p,
+      rest
+    FROM (
+      SELECT doc_id, url,
+        regexp_replace(regexp_replace(url, '#.*$', ''),
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://', '') AS rest
+      FROM urls
+    )
+  )
+),
+m AS (
+  SELECT u.doc_id,
+    max(struct_pack(
+      plen := length(r.path),
+      is_allow := CASE WHEN r.rule = 'allow' THEN 1 ELSE 0 END,
+      mp := r.path)) AS mm
+  FROM u JOIN rrules r
+    ON u.host = r.host AND r.agent = '{agent}' AND r.path <> ''
+    AND starts_with(u.path, r.path)
+  GROUP BY u.doc_id
+)
+SELECT u.doc_id, u.url, u.host, u.path,
+  CASE WHEN m.mm IS NULL THEN NULL
+       WHEN (m.mm).is_allow = 1 THEN 'allow'
+       ELSE 'disallow' END AS matched_rule,
+  (m.mm).mp AS matched_path,
+  COALESCE((m.mm).is_allow = 1, TRUE) AS allowed
+FROM u LEFT JOIN m USING (doc_id)"""
+
+
 def temperature_sample(target_frac=0.5):
     """Mirrors sampling.temperature_sample: integer micro-unit sqrt
     weights, HUGEINT integral division (== Spark DECIMAL(38,0) div,

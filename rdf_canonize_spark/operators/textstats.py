@@ -700,6 +700,63 @@ def line_filter(docs, min_words=LINE_MIN_WORDS,
     )
 
 
+QUALITY_KEEP_FRAC = 0.7
+
+
+def quality_threshold(docs, keep_frac=QUALITY_KEEP_FRAC):
+    """Per-language quality cutoff table -- the dynamic-threshold
+    calibration step behind 'keep the best X% per language' curation
+    (CCNet-style head selection): for each language, the LARGEST
+    quality level ``thr_micro`` such that keeping docs with
+    ``quality_micro >= thr_micro`` yields at least ``ceil(keep_frac *
+    n)`` documents.  Output ``(lang, n_docs, n_target, thr_micro,
+    n_kept)``; the gate itself is then a trivial broadcast-joined
+    filter.  quality is round(x, 6), so ``quality_micro = round(q *
+    1e6)`` is integer-exact cross-engine, and the ceil is the integer
+    identity ``(n * k + 1e6 - 1) div 1e6``.
+
+    Scale shape: per-doc quality (narrow) -> a (lang, quality-level)
+    HISTOGRAM aggregate -- the cumulative window then runs over
+    histogram rows (distinct quality levels per language, orders of
+    magnitude below doc count), partitioned by lang, never over the
+    corpus.  This is the exact-threshold alternative to sorting docs
+    per language (a per-lang global sort would be the scale bug)."""
+    from pyspark.sql import Window
+
+    k_micro = int(round(keep_frac * 1e6))
+    q = quality_score(docs.select("doc_id", "text")).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    hist = q.select(
+        "lang",
+        F.round(F.col("quality") * 1e6).cast("long").alias("q_micro"),
+    ).groupBy("lang", "q_micro").agg(F.count(F.lit(1)).alias("c"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("q_micro").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(w))
+    totals = hist.groupBy("lang").agg(F.sum("c").alias("n_docs"))
+    j = cum.join(totals, "lang").withColumn(
+        "n_target",
+        F.expr(f"(n_docs * {k_micro} + 999999) div 1000000"),
+    )
+    thr = (
+        j.filter(F.col("cum") >= F.col("n_target"))
+        .groupBy("lang", "n_docs", "n_target")
+        .agg(F.max("q_micro").alias("thr_micro"))
+    )
+    return thr.join(
+        cum.select(
+            "lang",
+            F.col("q_micro").alias("thr_micro"),
+            F.col("cum").alias("n_kept"),
+        ),
+        ["lang", "thr_micro"],
+    ).select("lang", "n_docs", "n_target", "thr_micro", "n_kept")
+
+
 def length_histogram(docs):
     """Token-length distribution by power-of-2 bucket per language --
     the one-glance corpus-shape artifact behind truncation budgets,

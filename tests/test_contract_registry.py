@@ -17,6 +17,9 @@ import __spark_entry__ as entrymod
 # round-3/4 priority block follows
 PRIORITY_PREFIX = [
     "entity_cooccurrence",
+    "robots_rules",
+    "robots_gate",
+    "docs_quality_threshold",
     "docs_length_histogram",
     "url_blocklist",
     "docs_temperature_sample",
@@ -69,7 +72,7 @@ PRIORITY_PREFIX = [
 def test_registry_shape_and_priority_prefix():
     qs = entrymod.queries()
     names = list(qs)
-    assert len(names) == len(set(names)) == 97
+    assert len(names) == len(set(names)) == 100
     assert names[: len(PRIORITY_PREFIX)] == PRIORITY_PREFIX
     assert all(callable(fn) for fn in qs.values())
 

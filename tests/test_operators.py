@@ -524,6 +524,117 @@ def test_media_features_real_bmp_ppm_decode(spark):
     )
 
 
+def test_robots_parse_and_gate_planted(spark):
+    """robots.txt semantics: comments and junk lines drop, directive
+    keys are case-insensitive, rules before any User-agent drop,
+    rules attach to the most recent group, the gate picks the
+    longest matching prefix with allow winning length ties, empty
+    Disallow is a no-op, other agents' groups are invisible, and
+    hosts without rules (or with no matching prefix) are allowed."""
+    from rdf_canonize_spark.operators.robots import (
+        parse_robots,
+        robots_gate,
+    )
+
+    nl = chr(10)
+    txt = nl.join([
+        "Disallow: /orphan",            # before any group -> dropped
+        "# comment only",
+        "User-Agent: *",
+        "DISALLOW: /a",                 # case-insensitive key
+        "Allow: /a/b",
+        "Disallow: /a/b",               # tie with Allow -> allow wins
+        "Disallow:",                    # empty path: parsed, gate no-op
+        "not a directive",
+        "User-agent: gptbot",
+        "Disallow: /",
+    ])
+    robots = spark.createDataFrame(
+        [("h1.example.com", txt)], "host string, robots_txt string"
+    )
+    rules = parse_robots(robots)
+    got = [
+        (r["agent"], r["rule"], r["path"])
+        for r in rules.orderBy("line_idx").collect()
+    ]
+    assert got == [
+        ("*", "disallow", "/a"),
+        ("*", "allow", "/a/b"),
+        ("*", "disallow", "/a/b"),
+        ("*", "disallow", ""),
+        ("gptbot", "disallow", "/"),
+    ]
+
+    urls = spark.createDataFrame(
+        [
+            (1, "https://h1.example.com/a/x"),      # /a -> disallow
+            (2, "https://WWW.h1.Example.COM/a/b/c"),  # tie -> allow
+            (3, "https://h1.example.com/zzz"),      # no match -> ok
+            (4, "https://h1.example.com"),          # path '/' -> ok
+            (5, "https://other.example.com/a"),     # no rules -> ok
+        ],
+        "doc_id long, url string",
+    )
+    gate = {
+        r["doc_id"]: (r["matched_rule"], r["matched_path"], r["allowed"])
+        for r in robots_gate(urls, rules).collect()
+    }
+    assert gate[1] == ("disallow", "/a", False)
+    assert gate[2] == ("allow", "/a/b", True)
+    assert gate[3] == (None, None, True)
+    assert gate[4] == (None, None, True)
+    assert gate[5] == (None, None, True)
+    # the gptbot group is enforced only when asked for
+    gate_bot = {
+        r["doc_id"]: r["allowed"]
+        for r in robots_gate(urls, rules, agent="gptbot").collect()
+    }
+    assert gate_bot[3] is False  # Disallow: / blocks everything on h1
+    assert gate_bot[5] is True
+
+
+def test_quality_threshold_matches_python_mirror(spark):
+    """The per-language cutoff equals an exact Python recomputation
+    from the per-doc quality scores: smallest kept set >= ceil(frac *
+    n), thr is the LARGEST quality level that reaches it, n_kept
+    counts docs at-or-above thr."""
+    from rdf_canonize_spark.operators.textstats import (
+        quality_score,
+        quality_threshold,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, "en" if i % 3 else "de",
+             ("the of and a to in is it that word " * (1 + i % 7))
+             + "x" * (i % 5))
+            for i in range(40)
+        ],
+        "doc_id long, lang string, text string",
+    )
+    scores = {
+        r["doc_id"]: round(r["quality"] * 1e6)
+        for r in quality_score(docs.select("doc_id", "text")).collect()
+    }
+    langs = {r["doc_id"]: r["lang"] for r in docs.collect()}
+    got = {
+        r["lang"]: r for r in quality_threshold(docs, 0.7).collect()
+    }
+    for lang in ("en", "de"):
+        qs = sorted(
+            (scores[d] for d in scores if langs[d] == lang),
+            reverse=True,
+        )
+        n = len(qs)
+        n_target = -((-n * 700000) // 1000000)
+        thr = qs[n_target - 1]
+        # largest level reaching the target: extend through ties
+        n_kept = sum(1 for q in qs if q >= thr)
+        r = got[lang]
+        assert (r["n_docs"], r["n_target"]) == (n, n_target)
+        assert (r["thr_micro"], r["n_kept"]) == (thr, n_kept)
+
+
 def test_length_histogram_and_blocklist_planted(spark):
     """Length histogram: bucket b holds 2^(b-1) <= n < 2^b, empty
     docs land in bucket 0, aggregates are exact.  Blocklist gate:
