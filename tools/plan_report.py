@@ -74,6 +74,10 @@ NLJ_OK = {
     "docs_bpe_merges": "single-row broadcast merge-pair attach "
                        "(1 row per round x 6 rounds, vocab-sized "
                        "probe side)",
+    # 1-row broadcast build side: the capped-set document count N for
+    # the PMI denominator; the pair join itself is a url-keyed equi
+    "entity_cooccurrence": "single-row broadcast doc-count attach "
+                           "(PMI scalar N)",
     # 1-row broadcast build side: the corpus totals (sum of weights,
     # doc count) attached to the source-cardinality probability table
     "docs_temperature_sample": "single-row broadcast totals attach "
