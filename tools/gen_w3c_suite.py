@@ -398,6 +398,27 @@ case("RDFC10EvalTest", "sha384 triple isomorphic twins", nq(
     "_:c0 <http://ex/p> _:c1"), "medium", hash_algorithm="SHA384",
     with_map=True)
 
+# --- session-2 expansion: label-grammar edges, exotic schemes, long
+# literals (families of the official suite not yet mirrored) ------------------
+case("RDFC10EvalTest", "numeric-ish blank node labels are distinct strings",
+     nq("_:0 <http://ex/p> _:00", "_:00 <http://ex/p> _:0a",
+        "_:0a <http://ex/p> _:0"), "medium", with_map=True)
+case("RDFC10EvalTest", "dots and hyphens inside blank node labels", nq(
+    "_:a.b-c_d <http://ex/p> _:x.y", "_:x.y <http://ex/p> _:a.b-c_d"),
+    "medium", with_map=True)
+case("RDFC10EvalTest", "one bnode in subject, object, and graph of one quad",
+     nq("_:a <http://ex/p> _:a _:a"), "low", with_map=True)
+case("RDFC10EvalTest", "urn, tag, and file IRI schemes round-trip", nq(
+    "<urn:uuid:6e8bc430-9c3a-11d9-9669-0800200c9a66> <tag:ex,2026:p> "
+    "<file:///tmp/x>",
+    "_:b <tag:ex,2026:p> <urn:isbn:0451450523>"), "low")
+case("RDFC10EvalTest", "long literal (8 KB) digests correctly", nq(
+    '<http://ex/s> <http://ex/p> "' + "x" * 8192 + '"',
+    '_:a <http://ex/p> "' + "y" * 8192 + '"'), "low")
+case("RDFC10EvalTest", "sha512 map over dotted-label twins", nq(
+    "_:p.1 <http://ex/p> _:q.1", "_:p.2 <http://ex/p> _:q.2"),
+    "medium", hash_algorithm="SHA512", with_map=True)
+
 
 def main():
     rdfc10_dir = os.path.join(OUT, "rdfc10")
